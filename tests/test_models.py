@@ -1,0 +1,126 @@
+"""Encoder/decoder wiring tests: all 9 encoder variants x 2 decoders build,
+produce finite losses and correctly-shaped candidate scores; attention
+masking respects the causal slot structure."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visdial_tpu.config import ENCODERS
+from visdial_tpu.data.loader import BatchAssembler
+from visdial_tpu.data.synthetic import make_synthetic_split
+from visdial_tpu.models.model import model_init, model_loss, model_scores
+from visdial_tpu.ops.attention import masked_slot_attention
+from tests.conftest import small_config
+
+
+def _batch_for(cfg, n=4, seed=0):
+    split, vocab = make_synthetic_split(cfg, num_dialogs=n, seed=seed)
+    cfg = cfg.replace(vocab_size=vocab.size)
+    asm = BatchAssembler(split, vocab, cfg)
+    b = asm.assemble(np.arange(n), with_options=True,
+                     with_gen_options=cfg.decoder == "gen")
+    return {k: jnp.asarray(v) for k, v in b.as_dict().items()}, cfg
+
+
+@pytest.mark.parametrize("encoder", ENCODERS)
+@pytest.mark.parametrize("decoder", ["disc", "gen"])
+def test_all_variants_build_and_score(encoder, decoder):
+    cfg = small_config(encoder=encoder, decoder=decoder)
+    batch, cfg = _batch_for(cfg)
+    params = model_init(jax.random.PRNGKey(0), cfg)
+    loss = model_loss(params, batch, cfg, train=True,
+                      rng=jax.random.PRNGKey(1), impl="xla")
+    assert np.isfinite(float(loss))
+    scores = model_scores(params, batch, cfg, impl="xla")
+    assert scores.shape == (4, cfg.num_rounds, cfg.num_options)
+    assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_attention_mask_excludes_future_slots():
+    B, R, H = 2, 4, 8
+    rng = np.random.default_rng(0)
+    query = jnp.asarray(rng.standard_normal((B, R, H)), jnp.float32)
+    slots = jnp.asarray(rng.standard_normal((B, R, H)), jnp.float32)
+    slot = np.arange(R)
+    valid = jnp.asarray((slot[None, :] <= slot[:, None])[None].repeat(B, 0),
+                        jnp.float32)
+    out = masked_slot_attention(query, slots, valid)
+    # round 0 sees only slot 0 -> output == slots[:, 0]
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(slots[:, 0]),
+                               atol=1e-5)
+    # changing a future slot must not change earlier rounds
+    slots2 = slots.at[:, 3].set(100.0)
+    out2 = masked_slot_attention(query, slots2, valid)
+    np.testing.assert_allclose(np.asarray(out[:, :3]), np.asarray(out2[:, :3]),
+                               atol=1e-5)
+
+
+def test_attention_rows_sum_to_one_under_mask():
+    """Indirect check: with identical slots, output equals that slot value
+    regardless of how many slots are valid (weights sum to 1)."""
+    B, R, H = 1, 3, 4
+    query = jnp.ones((B, R, H))
+    slots = jnp.ones((B, R, H)) * 0.7
+    slot = np.arange(R)
+    valid = jnp.asarray((slot[None, :] <= slot[:, None])[None], jnp.float32)
+    out = masked_slot_attention(query, slots, valid)
+    np.testing.assert_allclose(np.asarray(out), 0.7, atol=1e-6)
+
+
+def test_disc_scores_are_dot_products():
+    """disc scorer == plain dot product of option embedding and joint."""
+    from visdial_tpu.models.decoders import disc_option_embeddings, disc_scores
+
+    cfg = small_config(encoder="lf-ques", decoder="disc")
+    batch, cfg = _batch_for(cfg)
+    params = model_init(jax.random.PRNGKey(0), cfg)
+    N = 4 * cfg.num_rounds
+    opt = batch["opt"].reshape(N, cfg.num_options, -1)
+    joint = jnp.ones((N, cfg.rnn_hidden_size))
+    emb = disc_option_embeddings(params["decoder"], params["embed"], opt, cfg)
+    scores = disc_scores(params["decoder"], params["embed"], joint, opt, cfg)
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(emb.sum(-1)), atol=1e-4)
+
+
+def test_gen_candidate_score_is_logprob_sum():
+    """Scoring the gold answer as a candidate == -token_count * NLL of it."""
+    from visdial_tpu.models.decoders import gen_candidate_scores, gen_logits
+
+    cfg = small_config(encoder="lf-ques", decoder="gen")
+    batch, cfg = _batch_for(cfg)
+    params = model_init(jax.random.PRNGKey(0), cfg)
+    N = 4 * cfg.num_rounds
+    joint = jnp.asarray(
+        np.random.default_rng(0).standard_normal((N, cfg.rnn_hidden_size)),
+        jnp.float32)
+    opt_in = batch["opt_in"].reshape(N, cfg.num_options, -1)
+    opt_out = batch["opt_out"].reshape(N, cfg.num_options, -1)
+    scores = gen_candidate_scores(params["decoder"], params["embed"], joint,
+                                  opt_in, opt_out, cfg)
+    assert scores.shape == (N, cfg.num_options)
+    # manual recompute for candidate 0 of row 0
+    logits = gen_logits(params["decoder"], params["embed"], joint[:1],
+                        opt_in[:1, 0], cfg)
+    logp = jax.nn.log_softmax(logits, -1)
+    tgt = opt_out[0, 0]
+    manual = sum(
+        float(logp[0, t, int(tgt[t])]) for t in range(tgt.shape[0])
+        if int(tgt[t]) != 0)
+    np.testing.assert_allclose(float(scores[0, 0]), manual, atol=1e-4)
+
+
+def test_variants_differ():
+    """Image/history inputs actually influence the LF joint embedding."""
+    from visdial_tpu.models.encoders import encoder_apply
+
+    cfg = small_config(encoder="lf-ques-im-hist", decoder="disc")
+    batch, cfg = _batch_for(cfg)
+    params = model_init(jax.random.PRNGKey(0), cfg)
+    j1 = encoder_apply(params["encoder"], params["embed"], batch, cfg)
+    batch2 = dict(batch)
+    batch2["img"] = batch["img"] + 1.0
+    j2 = encoder_apply(params["encoder"], params["embed"], batch2, cfg)
+    assert not np.allclose(np.asarray(j1), np.asarray(j2))

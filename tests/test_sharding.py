@@ -1,0 +1,73 @@
+"""Multi-chip-without-a-cluster tests (SURVEY.md §4 item 5): run the jitted
+train/eval steps over an 8-virtual-device CPU mesh and assert the results
+match the single-device run to fp tolerance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visdial_tpu.data.loader import BatchAssembler
+from visdial_tpu.data.synthetic import make_synthetic_split
+from visdial_tpu.parallel.mesh import batch_sharding, make_mesh, shard_batch
+from visdial_tpu.parallel.train_step import (
+    init_train_state,
+    make_eval_fn,
+    make_train_fn,
+)
+from tests.conftest import small_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = small_config(encoder="lf-ques-im-hist", decoder="disc", batch_size=8)
+    split, vocab = make_synthetic_split(cfg, num_dialogs=8, seed=3)
+    cfg = cfg.replace(vocab_size=vocab.size)
+    asm = BatchAssembler(split, vocab, cfg)
+    batch = asm.assemble(np.arange(8)).as_dict()
+    return cfg, batch
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8, (
+        "conftest must provide 8 virtual CPU devices")
+
+
+def test_sharded_train_step_matches_single_device(setup):
+    cfg, batch = setup
+    mesh8 = make_mesh(data=8, model=1)
+    mesh1 = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+
+    state8 = init_train_state(cfg)
+    state1 = init_train_state(cfg)
+    fn8 = make_train_fn(cfg, mesh8)
+    fn1 = make_train_fn(cfg, mesh1)
+    for _ in range(3):
+        state8, m8 = fn8(state8, shard_batch(batch, mesh8))
+        state1, m1 = fn1(state1, shard_batch(batch, mesh1))
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(state8.params),
+                    jax.tree.leaves(state1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_sharded_eval_matches_single_device(setup):
+    cfg, batch = setup
+    mesh8 = make_mesh(data=8, model=1)
+    mesh1 = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    state = init_train_state(cfg)
+    s8 = make_eval_fn(cfg, mesh8)(state.params, shard_batch(batch, mesh8))
+    s1 = make_eval_fn(cfg, mesh1)(state.params, shard_batch(batch, mesh1))
+    np.testing.assert_allclose(np.asarray(s8), np.asarray(s1), atol=1e-4)
+
+
+def test_batch_sharding_layout(setup):
+    cfg, batch = setup
+    mesh8 = make_mesh(data=8, model=1)
+    sharded = shard_batch(batch, mesh8)
+    for k, v in sharded.items():
+        shard_shapes = {s.data.shape for s in v.addressable_shards}
+        assert len(shard_shapes) == 1
+        per_dev = next(iter(shard_shapes))
+        assert per_dev[0] == v.shape[0] // 8, (k, per_dev, v.shape)

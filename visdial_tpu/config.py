@@ -1,0 +1,148 @@
+"""Frozen configuration for the visdial-tpu stack.
+
+The reference (batra-mlp-lab/visdial) drives everything through a
+``torch.CmdLine`` option table built in each entry script (reference:
+train.lua / evaluate.lua option blocks) and serializes that table inside
+every checkpoint so evaluation can rebuild the exact architecture.  We keep
+that design point: one frozen dataclass, constructed from argparse or a dict,
+serialized into every checkpoint and metrics file.
+
+Encoder/decoder names mirror the reference's 9x2 matrix
+(reference: encoders/*.lua, decoders/{gen,disc}.lua).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from typing import Any
+
+# The reference's nine encoder variants (reference: encoders/ directory).
+ENCODERS = (
+    "lf-ques",
+    "lf-ques-hist",
+    "lf-ques-im",
+    "lf-ques-im-hist",
+    "hre-ques-hist",
+    "hre-ques-im-hist",
+    "hrea-ques-im-hist",
+    "mn-ques-hist",
+    "mn-ques-im-hist",
+)
+
+# The reference's two decoders (reference: decoders/gen.lua, decoders/disc.lua).
+DECODERS = ("gen", "disc")
+
+
+def encoder_uses_image(encoder: str) -> bool:
+    return "-im" in encoder
+
+
+def encoder_uses_history(encoder: str) -> bool:
+    return "-hist" in encoder
+
+
+def encoder_family(encoder: str) -> str:
+    """'lf' | 'hre' | 'hrea' | 'mn'."""
+    return encoder.split("-", 1)[0]
+
+
+@dataclass(frozen=True)
+class Config:
+    """All hyperparameters.  Defaults follow the reference option defaults
+    (reference: train.lua cmd:option block; values marked [P] in SURVEY.md
+    were chosen and documented here as the behavior of record).
+    """
+
+    # --- model ---
+    encoder: str = "lf-ques-im-hist"
+    decoder: str = "disc"
+    vocab_size: int = 0          # filled from the data artifact
+    embed_size: int = 300        # word embedding dim (reference -embedSize)
+    rnn_hidden_size: int = 512   # LSTM hidden (reference -rnnHiddenSize)
+    num_layers: int = 2          # LSTM layers (reference -numLayers)
+    img_feat_size: int = 4096    # VGG-16 fc7 (reference data_img.h5 schema)
+    img_embed_size: int = 300    # image projection (reference -imgEmbedSize)
+    img_norm: bool = True        # L2-normalize image feature (reference -imgNorm)
+    dropout: float = 0.5         # (reference -dropout; applied to LSTM outputs)
+
+    # --- data shape contract (reference: data/prepro.py padding caps).
+    # SURVEY.md marks the exact caps [P]; chosen behavior of record:
+    # questions 16, answers 8, captions 40 tokens.
+    max_ques_len: int = 16
+    max_ans_len: int = 8
+    max_cap_len: int = 40
+    num_rounds: int = 10         # VisDial protocol: 10 rounds/dialog
+    num_options: int = 100       # VisDial protocol: 100 candidates/round
+
+    # --- training (reference: train.lua defaults; lrDecay chosen) ---
+    batch_size: int = 32         # dialogs per step (rounds = 10x this)
+    learning_rate: float = 1e-3
+    lr_decay_rate: float = 0.9997  # multiplicative per-step decay
+    min_lr: float = 5e-5
+    grad_clip: float = 5.0       # L2 norm clip (reference model.lua, [P])
+    num_epochs: int = 15
+    seed: int = 1234
+    optimizer: str = "adam"      # adam | sgd | rmsprop (reference optim_updates.lua)
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_eps: float = 1e-8
+
+    # --- TPU execution ---
+    use_pallas: bool = True      # fused kernels on TPU; pure-JAX twin otherwise
+    compute_dtype: str = "float32"  # float32 | bfloat16 for matmul inputs
+    mesh_data: int = -1          # data-parallel axis size; -1 = all devices
+    mesh_model: int = 1          # model axis (reserved, size 1 for this workload)
+
+    # --- paths ---
+    data_dir: str = "data"
+    save_path: str = "checkpoints"
+    eval_every: int = 0          # steps; 0 = every epoch
+    save_every: int = 0          # steps; 0 = every epoch
+    log_every: int = 50          # steps between JSONL metric records
+
+    # Derived lengths -----------------------------------------------------
+    @property
+    def max_hist_concat_len(self) -> int:
+        """LF concatenated history: caption + 9 full QA rounds.
+
+        Reference dataloader.lua builds one concatenated token sequence per
+        round (caption + Q1A1 + ... + Q(t-1)A(t-1)); we keep the full static
+        worst case so no truncation is ever needed (documented decision —
+        SURVEY.md §2 #5 marks reference truncation details [P]).
+        """
+        return self.max_cap_len + (self.num_rounds - 1) * (
+            self.max_ques_len + self.max_ans_len
+        )
+
+    @property
+    def max_fact_len(self) -> int:
+        """Per-round 'fact' for HRE/MN: caption or one QA pair."""
+        return max(self.max_cap_len, self.max_ques_len + self.max_ans_len)
+
+    def validate(self) -> "Config":
+        if self.encoder not in ENCODERS:
+            raise ValueError(f"unknown encoder {self.encoder!r}; choose from {ENCODERS}")
+        if self.decoder not in DECODERS:
+            raise ValueError(f"unknown decoder {self.decoder!r}; choose from {DECODERS}")
+        if self.optimizer not in ("adam", "sgd", "rmsprop"):
+            raise ValueError(f"unknown optimizer {self.optimizer!r}")
+        return self
+
+    # Serialization (checkpoints embed the config, like the reference
+    # embeds `opt` inside every .t7 file) --------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Config":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields}).validate()
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw).validate()

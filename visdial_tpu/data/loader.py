@@ -1,0 +1,326 @@
+"""Host-side batch assembly and the prefetching device feed.
+
+Replaces the reference's online Lua loader (reference: dataloader.lua
+getTrainBatch/getTestBatch + utils.rightAlign).  Responsibilities:
+
+  * right-align padded token sequences so the last timestep is the last
+    word (reference: utils.rightAlign) — with zero initial state this makes
+    "last hidden state" equal "state after last real token";
+  * assemble dialog history two ways (reference: dataloader.lua history
+    block): one *concatenated* sequence per round for LF encoders, and
+    per-round *facts* (caption, QA_1, ..., QA_9) for HRE/MN encoders.
+    Facts are emitted once per dialog, not once per round: fact j is shared
+    by every round > j, and the hierarchical/memory encoders consume them
+    with a per-round validity mask (slots 0..t valid at round t) — a 10x
+    host and device saving over materializing history per round;
+  * build teacher-forcing inputs  ans_in = <START>+ans, ans_out = ans+<END>
+    (reference: dataloader.lua answerIn/answerOut);
+  * gather the 100 candidate-answer token sequences per round from the
+    deduplicated option list (reference: option index trick in prepro.py);
+  * optionally L2-normalize image features (reference -imgNorm);
+  * feed batches to device one step ahead (double buffering) with the
+    batch dim laid out for the data-parallel mesh axis.
+
+All assembly is vectorized numpy; a C++ core (native/loader_core.cpp) is
+used for the right-align hot path when built, with this file as the
+behavioral reference.
+"""
+
+from __future__ import annotations
+
+import threading
+import queue as queue_mod
+from dataclasses import dataclass
+from typing import Any, Iterator
+
+import numpy as np
+
+from ..config import Config, encoder_family, encoder_uses_history, encoder_uses_image
+from .dataset import VisDialSplit, Vocabulary
+
+
+# ---------------------------------------------------------------------------
+# right-align
+# ---------------------------------------------------------------------------
+
+def right_align(seq: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Move each row's tokens to the right edge.
+
+    seq: (..., L) left-aligned, 0-padded; lengths: (...,).
+    Equivalent of reference utils.rightAlign.
+    """
+    seq = np.asarray(seq)
+    L = seq.shape[-1]
+    flat = seq.reshape(-1, L)
+    lens = np.asarray(lengths).reshape(-1)
+    shift = L - lens  # how far right each row moves
+    col = np.arange(L)[None, :]
+    src = col - shift[:, None]          # source column for each output column
+    valid = src >= 0
+    src = np.clip(src, 0, L - 1)
+    out = np.take_along_axis(flat, src, axis=1)
+    out[~valid] = 0
+    return out.reshape(seq.shape)
+
+try:  # optional C++ fast path (behavior-identical; tests compare both)
+    from . import native as _native
+except Exception:  # pragma: no cover
+    _native = None
+
+
+def right_align_fast(seq: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    if _native is not None and _native.available():
+        return _native.right_align(seq, lengths)
+    return right_align(seq, lengths)
+
+
+# ---------------------------------------------------------------------------
+# batch container
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Batch:
+    """One step's worth of data.  B dialogs x R rounds; all int32/float32.
+
+    Fields are None when the encoder/decoder combination doesn't need them.
+      ques        (B, R, Lq)       right-aligned question tokens
+      hist_concat (B, R, Lh)       right-aligned concatenated history (LF)
+      facts       (B, R, Lf)       right-aligned per-dialog facts (HRE/MN);
+                                   slot 0 = caption, slot j = QA_j
+      fact_len    (B, R)
+      img         (B, F)
+      ans_in      (B, R, La+1)     <START> + answer   (gen training)
+      ans_out     (B, R, La+1)     answer + <END>     (gen training)
+      opt         (B, R, K, La)    candidate tokens, left-aligned (disc)
+      opt_len     (B, R, K)
+      opt_in      (B, R, K, La+1)  <START>+cand       (gen eval)
+      opt_out     (B, R, K, La+1)  cand+<END>         (gen eval)
+      gt_ind      (B, R)
+      dialog_valid (B,)            0/1 — padding rows in the final eval batch
+    """
+
+    ques: np.ndarray
+    gt_ind: np.ndarray
+    dialog_valid: np.ndarray
+    hist_concat: np.ndarray | None = None
+    facts: np.ndarray | None = None
+    fact_len: np.ndarray | None = None
+    img: np.ndarray | None = None
+    ans_in: np.ndarray | None = None
+    ans_out: np.ndarray | None = None
+    opt: np.ndarray | None = None
+    opt_len: np.ndarray | None = None
+    opt_in: np.ndarray | None = None
+    opt_out: np.ndarray | None = None
+
+    def as_dict(self) -> dict[str, Any]:
+        return {k: v for k, v in self.__dict__.items() if v is not None}
+
+
+def _with_start_end(tokens: np.ndarray, lengths: np.ndarray, start: int, end: int):
+    """(..., L) left-aligned -> (in, out) of shape (..., L+1).
+
+    in  = <START> t1..tk 0...      out = t1..tk <END> 0...
+    (reference: dataloader.lua answerIn/answerOut construction)
+    """
+    shape = tokens.shape
+    L = shape[-1]
+    flat = tokens.reshape(-1, L)
+    lens = np.asarray(lengths).reshape(-1)
+    n = flat.shape[0]
+    t_in = np.zeros((n, L + 1), np.int32)
+    t_out = np.zeros((n, L + 1), np.int32)
+    t_in[:, 0] = start
+    t_in[:, 1:] = flat
+    t_out[:, :L] = flat
+    t_out[np.arange(n), lens] = end
+    return t_in.reshape(*shape[:-1], L + 1), t_out.reshape(*shape[:-1], L + 1)
+
+
+# ---------------------------------------------------------------------------
+# assembler
+# ---------------------------------------------------------------------------
+
+class BatchAssembler:
+    """Turns dialog indices into model-ready Batches for one split."""
+
+    def __init__(self, data: VisDialSplit, vocab: Vocabulary, config: Config):
+        self.data = data
+        self.vocab = vocab
+        self.cfg = config
+        self.family = encoder_family(config.encoder)
+        self.need_img = encoder_uses_image(config.encoder)
+        self.need_hist = encoder_uses_history(config.encoder)
+        self.need_concat = self.family == "lf" and self.need_hist
+        self.need_facts = self.family in ("hre", "hrea", "mn") and self.need_hist
+        if config.img_norm:
+            feats = data.img_feat
+            norm = np.linalg.norm(feats, axis=1, keepdims=True)
+            self.img_feat = (feats / np.maximum(norm, 1e-8)).astype(np.float32)
+        else:
+            self.img_feat = data.img_feat.astype(np.float32)
+
+    # -- history --------------------------------------------------------
+    def _hist_concat(self, idx: np.ndarray) -> np.ndarray:
+        """Concatenated history per round: caption + QA_1..QA_{t-1}.
+
+        Built left-aligned then right-aligned to the full static width
+        (Config.max_hist_concat_len documents the no-truncation decision).
+        """
+        d, cfg = self.data, self.cfg
+        B, R = len(idx), cfg.num_rounds
+        Lh = cfg.max_hist_concat_len
+        out = np.zeros((B, R, Lh), np.int32)
+        out_len = np.zeros((B, R), np.int32)
+        cap, cap_len = d.cap[idx], d.cap_len[idx]
+        ques, ques_len = d.ques[idx], d.ques_len[idx]
+        ans, ans_len = d.ans[idx], d.ans_len[idx]
+        for b in range(B):
+            buf = list(cap[b, : cap_len[b]])
+            for r in range(R):
+                out[b, r, : len(buf)] = buf
+                out_len[b, r] = len(buf)
+                buf.extend(ques[b, r, : ques_len[b, r]])
+                buf.extend(ans[b, r, : ans_len[b, r]])
+        return right_align_fast(out, out_len)
+
+    def _facts(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Per-dialog facts: slot 0 = caption, slot j = QA_j (j=1..R-1).
+
+        Round t consumes slots 0..t (masked downstream).
+        """
+        d, cfg = self.data, self.cfg
+        B, R, Lf = len(idx), cfg.num_rounds, cfg.max_fact_len
+        facts = np.zeros((B, R, Lf), np.int32)
+        fact_len = np.zeros((B, R), np.int32)
+        cap, cap_len = d.cap[idx], d.cap_len[idx]
+        facts[:, 0, : cap.shape[1]] = cap[:, :Lf]
+        fact_len[:, 0] = np.minimum(cap_len, Lf)
+        ques, ques_len = d.ques[idx], d.ques_len[idx]
+        ans, ans_len = d.ans[idx], d.ans_len[idx]
+        for b in range(B):
+            for r in range(R - 1):  # QA_r becomes fact slot r+1
+                qa = np.concatenate(
+                    [ques[b, r, : ques_len[b, r]], ans[b, r, : ans_len[b, r]]]
+                )[:Lf]
+                facts[b, r + 1, : len(qa)] = qa
+                fact_len[b, r + 1] = len(qa)
+        return right_align_fast(facts, fact_len), fact_len
+
+    # -- main entry ------------------------------------------------------
+    def assemble(
+        self,
+        idx: np.ndarray,
+        with_options: bool = True,
+        with_gen_options: bool = False,
+        pad_to: int | None = None,
+    ) -> Batch:
+        d, cfg, v = self.data, self.cfg, self.vocab
+        idx = np.asarray(idx)
+        B = len(idx)
+        valid = np.ones(B, np.int32)
+        if pad_to is not None and B < pad_to:
+            pad = pad_to - B
+            idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+            valid = np.concatenate([valid, np.zeros(pad, np.int32)])
+            B = pad_to
+
+        ques = right_align_fast(d.ques[idx], d.ques_len[idx])
+        batch = Batch(ques=ques, gt_ind=d.gt_ind[idx].astype(np.int32),
+                      dialog_valid=valid)
+
+        if self.need_concat:
+            batch.hist_concat = self._hist_concat(idx)
+        if self.need_facts:
+            batch.facts, batch.fact_len = self._facts(idx)
+        if self.need_img:
+            batch.img = self.img_feat[idx]
+
+        if cfg.decoder == "gen":
+            batch.ans_in, batch.ans_out = _with_start_end(
+                d.ans[idx], d.ans_len[idx], v.start, v.end
+            )
+        if with_options:
+            sel = d.opt_inds[idx]                      # (B, R, K)
+            batch.opt = d.opt_list[sel]                # (B, R, K, La)
+            batch.opt_len = d.opt_list_len[sel]
+            if with_gen_options:
+                batch.opt_in, batch.opt_out = _with_start_end(
+                    batch.opt, batch.opt_len, v.start, v.end
+                )
+        return batch
+
+
+# ---------------------------------------------------------------------------
+# iterators
+# ---------------------------------------------------------------------------
+
+class TrainLoader:
+    """Shuffled epoch iterator with background assembly (one step ahead).
+
+    The reference fetches batches synchronously on the Lua main thread; here
+    assembly overlaps device compute via a worker thread + queue, and the
+    caller `device_put`s with a data-axis sharding (double buffering).
+    """
+
+    def __init__(self, data: VisDialSplit, vocab: Vocabulary, config: Config,
+                 drop_remainder: bool = True, prefetch: int = 2):
+        self.assembler = BatchAssembler(data, vocab, config)
+        self.cfg = config
+        self.n = data.num_dialogs
+        self.drop_remainder = drop_remainder
+        self.prefetch = prefetch
+        self.steps_per_epoch = (
+            self.n // config.batch_size
+            if drop_remainder
+            else -(-self.n // config.batch_size)
+        )
+
+    def epoch(self, seed: int) -> Iterator[Batch]:
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(self.n)
+        bs = self.cfg.batch_size
+        need_gen_opts = False  # training never scores options for gen
+        need_opts = self.cfg.decoder == "disc"
+
+        def produce(q: queue_mod.Queue) -> None:
+            try:
+                for s in range(self.steps_per_epoch):
+                    idx = order[s * bs : (s + 1) * bs]
+                    q.put(self.assembler.assemble(
+                        idx, with_options=need_opts,
+                        with_gen_options=need_gen_opts,
+                        pad_to=bs if not self.drop_remainder else None,
+                    ))
+            finally:
+                q.put(None)
+
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        t = threading.Thread(target=produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+
+
+class EvalLoader:
+    """Sequential iterator over a split with options for candidate scoring."""
+
+    def __init__(self, data: VisDialSplit, vocab: Vocabulary, config: Config,
+                 batch_size: int | None = None):
+        self.assembler = BatchAssembler(data, vocab, config)
+        self.cfg = config
+        self.bs = batch_size or config.batch_size
+        self.n = data.num_dialogs
+        self.num_batches = -(-self.n // self.bs)
+
+    def __iter__(self) -> Iterator[Batch]:
+        gen_opts = self.cfg.decoder == "gen"
+        for s in range(self.num_batches):
+            idx = np.arange(s * self.bs, min((s + 1) * self.bs, self.n))
+            yield self.assembler.assemble(
+                idx, with_options=True, with_gen_options=gen_opts,
+                pad_to=self.bs,
+            )

@@ -1,0 +1,47 @@
+"""Retrieval evaluation harness.
+
+Implements the reference protocol exactly (reference: evaluate.lua main
+loop; SURVEY.md §3.2 invariants): 100 candidates per round, 10 rounds per
+dialog, ground truth always among the candidates, rank from raw scores,
+then MRR / R@1 / R@5 / R@10 / mean rank over every (dialog, round).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from .config import Config
+from .data.dataset import VisDialSplit, Vocabulary
+from .data.loader import EvalLoader
+from .parallel.mesh import shard_batch
+from .parallel.train_step import make_eval_fn
+from .utils.metrics import ranks_from_scores, retrieval_metrics
+
+
+def evaluate_split(params, data: VisDialSplit, vocab: Vocabulary,
+                   cfg: Config, mesh, eval_fn=None,
+                   batch_size: int | None = None) -> dict:
+    """Score all candidates over a split and compute retrieval metrics.
+
+    Returns the metric dict plus throughput: 'evals_per_sec' counts
+    100-candidate ranking evaluations (i.e. dialog rounds scored) per
+    second — the eval north-star in BASELINE.json.
+    """
+    eval_fn = eval_fn or make_eval_fn(cfg, mesh)
+    loader = EvalLoader(data, vocab, cfg, batch_size=batch_size)
+    all_ranks = []
+    t0 = time.time()
+    n_rounds = 0
+    for batch in loader:
+        scores = eval_fn(params, shard_batch(batch.as_dict(), mesh))
+        ranks = np.asarray(ranks_from_scores(np.asarray(scores), batch.gt_ind))
+        keep = batch.dialog_valid.astype(bool)
+        all_ranks.append(ranks[keep].reshape(-1))
+        n_rounds += int(keep.sum()) * cfg.num_rounds
+    elapsed = time.time() - t0
+    metrics = retrieval_metrics(np.concatenate(all_ranks))
+    metrics["evals_per_sec"] = n_rounds / max(elapsed, 1e-9)
+    metrics["eval_seconds"] = elapsed
+    return metrics

@@ -1,0 +1,142 @@
+"""Answer decoders: generative LSTM LM and discriminative ranker.
+
+Reference: decoders/gen.lua, decoders/disc.lua.
+
+**gen** — 2-layer LSTM language model over answer tokens, teacher-forced
+with a masked NLL loss; the encoder joint embedding seeds the decoder state.
+forwardConnect scheme (SURVEY.md hard part #4, documented decision): each
+decoder layer's initial hidden state h_l = joint embedding, initial cell
+state c_l = 0.  Candidate scoring sums token log-probs over the candidate
+(no length normalization — SURVEY.md marks this [P]; chosen behavior).
+
+**disc** — a shared-weight option LSTM embeds each of the 100 candidates;
+score_k = dot(option_k embedding, joint embedding); 100-way softmax + NLL
+on the ground-truth index.
+
+TPU-first: candidates fold into the batch axis (N*K rows through one LSTM
+call — embarrassingly parallel, MXU-sized matmuls), never a Python loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..ops.lstm import lstm_init, masked_lstm
+from .core import embed, linear, linear_init
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def decoder_init(rng, cfg: Config) -> dict:
+    H, E = cfg.rnn_hidden_size, cfg.embed_size
+    k1, k2 = jax.random.split(rng)
+    if cfg.decoder == "gen":
+        return {
+            "lm_lstm": lstm_init(k1, E, H, cfg.num_layers),
+            "out_proj": linear_init(k2, H, cfg.vocab_size),
+        }
+    return {"opt_lstm": lstm_init(k1, E, H, cfg.num_layers)}
+
+
+def _joint_to_state(joint: jnp.ndarray, num_layers: int):
+    """forwardConnect: joint (N, H) -> (h0, c0), each (L, N, H)."""
+    h0 = jnp.broadcast_to(joint[None], (num_layers,) + joint.shape)
+    c0 = jnp.zeros_like(h0)
+    return h0, c0
+
+
+# ---------------------------------------------------------------------------
+# gen
+# ---------------------------------------------------------------------------
+
+def gen_logits(params, embed_params, joint, tokens_in, cfg: Config,
+               *, train=False, rng=None, impl="xla"):
+    """Teacher-forced logits.  tokens_in (N, T) left-aligned; returns (N,T,V)."""
+    vecs = embed(embed_params, tokens_in)
+    mask = (tokens_in != 0).astype(vecs.dtype)
+    h0, c0 = _joint_to_state(joint, cfg.num_layers)
+    outs, _ = masked_lstm(
+        params["lm_lstm"], vecs, mask, h0, c0,
+        impl=impl, dropout_rng=rng, dropout_rate=cfg.dropout if train else 0.0,
+    )
+    return linear(params["out_proj"], outs)
+
+
+def masked_nll(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Mean NLL over non-pad target tokens (reference: masked seq
+    ClassNLLCriterion).  logits (N,T,V), targets (N,T) with 0 = ignore."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tok_lp = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    mask = (targets != 0).astype(logits.dtype)
+    return -jnp.sum(tok_lp * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def gen_loss(params, embed_params, joint, batch, cfg: Config,
+             *, train=False, rng=None, impl="xla"):
+    N = joint.shape[0]
+    tokens_in = batch["ans_in"].reshape(N, -1)
+    tokens_out = batch["ans_out"].reshape(N, -1)
+    logits = gen_logits(params, embed_params, joint, tokens_in, cfg,
+                        train=train, rng=rng, impl=impl)
+    return masked_nll(logits, tokens_out)
+
+
+def gen_candidate_scores(params, embed_params, joint, opt_in, opt_out,
+                         cfg: Config, *, impl="xla"):
+    """Sum of token log-probs per candidate (reference: evaluate.lua gen
+    branch — the dominant eval cost).
+
+    joint (N, H); opt_in/opt_out (N, K, T).  Returns (N, K) scores.
+    Candidates fold into the batch: (N*K, T) through one LSTM pass.
+    """
+    N, K, T = opt_in.shape
+    joint_k = jnp.repeat(joint, K, axis=0)                    # (N*K, H)
+    logits = gen_logits(params, embed_params, joint_k,
+                        opt_in.reshape(N * K, T), cfg, impl=impl)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tgt = opt_out.reshape(N * K, T)
+    tok_lp = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    mask = (tgt != 0).astype(logits.dtype)
+    return jnp.sum(tok_lp * mask, axis=-1).reshape(N, K)
+
+
+# ---------------------------------------------------------------------------
+# disc
+# ---------------------------------------------------------------------------
+
+def disc_option_embeddings(params, embed_params, opt_tokens, cfg: Config,
+                           *, train=False, rng=None, impl="xla"):
+    """(N, K, T) candidate tokens -> (N, K, H) final LSTM states."""
+    N, K, T = opt_tokens.shape
+    flat = opt_tokens.reshape(N * K, T)
+    vecs = embed(embed_params, flat)
+    mask = (flat != 0).astype(vecs.dtype)
+    _, (h_fin, _) = masked_lstm(
+        params["opt_lstm"], vecs, mask,
+        impl=impl, dropout_rng=rng, dropout_rate=cfg.dropout if train else 0.0,
+    )
+    return h_fin[-1].reshape(N, K, -1)
+
+
+def disc_scores(params, embed_params, joint, opt_tokens, cfg: Config,
+                *, train=False, rng=None, impl="xla"):
+    """score_k = dot(option_k, joint) — one batched matmul."""
+    opt_emb = disc_option_embeddings(params, embed_params, opt_tokens, cfg,
+                                     train=train, rng=rng, impl=impl)
+    return jnp.einsum("nh,nkh->nk", joint, opt_emb,
+                      preferred_element_type=jnp.float32)
+
+
+def disc_loss(params, embed_params, joint, batch, cfg: Config,
+              *, train=False, rng=None, impl="xla"):
+    N = joint.shape[0]
+    opt_tokens = batch["opt"].reshape(N, cfg.num_options, -1)
+    scores = disc_scores(params, embed_params, joint, opt_tokens, cfg,
+                         train=train, rng=rng, impl=impl)
+    gt = batch["gt_ind"].reshape(N)
+    logp = jax.nn.log_softmax(scores, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, gt[:, None], axis=-1))

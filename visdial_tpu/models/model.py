@@ -1,0 +1,74 @@
+"""Model assembly: params init, loss, and candidate scoring.
+
+Replaces the reference's Model wrapper (reference: model.lua) minus the
+imperative parts: no flat getParameters() (params stay a pytree; optimizers
+are tree maps), no forward/backwardConnect mutation (the joint embedding is
+passed functionally into the decoder init state).
+
+The word-embedding table is shared across encoder and decoder pathways
+(documented decision; see models/encoders.py docstring).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from .core import embedding_init
+from .decoders import (
+    decoder_init,
+    disc_loss,
+    disc_scores,
+    gen_candidate_scores,
+    gen_loss,
+)
+from .encoders import encoder_apply, encoder_init
+
+
+def model_init(rng, cfg: Config) -> dict:
+    assert cfg.vocab_size > 1, "set Config.vocab_size from the data artifact"
+    k_emb, k_enc, k_dec = jax.random.split(rng, 3)
+    return {
+        "embed": embedding_init(k_emb, cfg.vocab_size, cfg.embed_size),
+        "encoder": encoder_init(k_enc, cfg),
+        "decoder": decoder_init(k_dec, cfg),
+    }
+
+
+def _impl(cfg: Config) -> str:
+    return "pallas" if cfg.use_pallas and jax.default_backend() == "tpu" else "xla"
+
+
+def model_loss(params, batch, cfg: Config, *, train=True, rng=None,
+               impl: str | None = None) -> jnp.ndarray:
+    impl = impl or _impl(cfg)
+    enc_rng = dec_rng = None
+    if rng is not None:
+        enc_rng, dec_rng = jax.random.split(rng)
+    joint = encoder_apply(params["encoder"], params["embed"], batch, cfg,
+                          train=train, rng=enc_rng, impl=impl)
+    if cfg.decoder == "gen":
+        return gen_loss(params["decoder"], params["embed"], joint, batch, cfg,
+                        train=train, rng=dec_rng, impl=impl)
+    return disc_loss(params["decoder"], params["embed"], joint, batch, cfg,
+                     train=train, rng=dec_rng, impl=impl)
+
+
+def model_scores(params, batch, cfg: Config, *, impl: str | None = None):
+    """Candidate scores for retrieval eval: (B, R, K)."""
+    impl = impl or _impl(cfg)
+    joint = encoder_apply(params["encoder"], params["embed"], batch, cfg,
+                          train=False, rng=None, impl=impl)
+    N = joint.shape[0]
+    K = cfg.num_options
+    if cfg.decoder == "gen":
+        scores = gen_candidate_scores(
+            params["decoder"], params["embed"], joint,
+            batch["opt_in"].reshape(N, K, -1),
+            batch["opt_out"].reshape(N, K, -1), cfg, impl=impl)
+    else:
+        scores = disc_scores(params["decoder"], params["embed"], joint,
+                             batch["opt"].reshape(N, K, -1), cfg, impl=impl)
+    B = batch["ques"].shape[0]
+    return scores.reshape(B, cfg.num_rounds, K)

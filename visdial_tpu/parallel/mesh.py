@@ -1,0 +1,45 @@
+"""Device mesh and sharding layout.
+
+The reference is single-GPU (reference: cutorch.setDevice in train.lua);
+parallelism here is first-class (SURVEY.md §2c): a 2-axis logical mesh
+('data', 'model').  For this workload the model axis is size 1 (512-hidden
+LSTMs don't need TP) but every sharding below is written against the named
+axes so widening the model axis is a mesh-shape change, not a code change.
+
+Layout of record:
+  * params / optimizer state: replicated across the mesh;
+  * every batch array: sharded along 'data' on dim 0 (the dialog axis);
+  * gradient all-reduce: emitted by XLA from the sharded batch dim, riding
+    ICI within the slice (no hand-written collectives — SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if data == -1:
+        data = len(devices) // model
+    assert data * model == len(devices), (
+        f"mesh {data}x{model} != {len(devices)} devices")
+    arr = np.array(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Dialog axis (dim 0) over 'data'; everything else replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch_dict: dict, mesh: Mesh) -> dict:
+    """device_put every batch array with the data-axis sharding."""
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch_dict.items()}

@@ -1,0 +1,77 @@
+"""The jitted training step and eval step, sharded over the mesh.
+
+Replaces the reference's Model:trainStep (reference: model.lua — zero grads,
+fwd, forwardConnect, loss, bwd, clip, in-place adam) with one functional
+`train_step` traced once under jit: value_and_grad over the loss, global
+clip, optimizer update, LR decay.  Under the ('data','model') mesh the batch
+is sharded on 'data' and params are replicated, so XLA inserts the gradient
+all-reduce (psum over ICI) automatically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..models.model import model_init, model_loss, model_scores
+from .mesh import batch_sharding, replicated
+from .optim import OptState, apply_updates, init_opt_state, lr_at_step
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt: OptState
+    rng: jax.Array
+
+
+def init_train_state(cfg: Config, rng=None) -> TrainState:
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+    init_rng, state_rng = jax.random.split(rng)
+    params = model_init(init_rng, cfg)
+    return TrainState(params, init_opt_state(params, cfg), state_rng)
+
+
+def train_step(state: TrainState, batch: dict, cfg: Config,
+               impl: str | None = None):
+    """One SGD step.  Returns (new_state, metrics dict of scalars)."""
+    rng, step_rng = jax.random.split(state.rng)
+    loss, grads = jax.value_and_grad(model_loss)(
+        state.params, batch, cfg, train=True, rng=step_rng, impl=impl)
+    lr = lr_at_step(state.opt.step, cfg)
+    params, opt, gnorm = apply_updates(state.params, grads, state.opt, lr, cfg)
+    metrics = {"loss": loss, "lr": lr, "grad_norm": gnorm,
+               "step": opt.step}
+    return TrainState(params, opt, rng), metrics
+
+
+def make_train_fn(cfg: Config, mesh: Mesh, impl: str | None = None):
+    """jit(train_step) with explicit shardings over the mesh.
+
+    Params/opt replicated, batch sharded on 'data', donated state.
+    """
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+
+    fn = partial(train_step, cfg=cfg, impl=impl)
+    return jax.jit(
+        fn,
+        in_shardings=(rep, bsh),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_fn(cfg: Config, mesh: Mesh, impl: str | None = None):
+    """jit(model_scores): batch -> (B, R, K) candidate scores."""
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+
+    def score(params, batch):
+        return model_scores(params, batch, cfg, impl=impl)
+
+    return jax.jit(score, in_shardings=(rep, bsh), out_shardings=bsh)

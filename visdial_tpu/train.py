@@ -1,0 +1,147 @@
+"""Training CLI — the `th train.lua` equivalent.
+
+Usage:
+    python -m visdial_tpu.train --encoder lf-ques-im-hist --decoder disc \
+        --data_dir data --num_epochs 15
+    python -m visdial_tpu.train --synthetic 64 --num_epochs 3   # no data needed
+
+Mirrors the reference option surface (reference: train.lua cmd:option
+block) with pythonic flag names; every run writes JSONL metrics and full
+resumable checkpoints (params + optimizer + step + PRNG + config).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+
+import jax
+import numpy as np
+
+from .config import Config
+from .data.dataset import load_split
+from .data.loader import TrainLoader
+from .data.synthetic import make_synthetic_split
+from .eval_harness import evaluate_split
+from .parallel.mesh import make_mesh, shard_batch
+from .parallel.train_step import init_train_state, make_eval_fn, make_train_fn
+from .utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .utils.logging import MetricsLogger
+from .utils.platform import apply_platform_env
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    for f in dataclasses.fields(Config):
+        name = "--" + f.name
+        if f.type == "bool" or isinstance(f.default, bool):
+            p.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                           default=f.default)
+        else:
+            p.add_argument(name, type=type(f.default), default=f.default)
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on N synthetic dialogs instead of real data")
+    p.add_argument("--max_steps", type=int, default=0,
+                   help="stop after N steps (0 = run num_epochs)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in save_path")
+    p.add_argument("--run_name", type=str, default="")
+    p.add_argument("--profile_steps", type=str, default="",
+                   help="'start,stop' step range to capture an xprof trace")
+    return p
+
+
+def config_from_args(args) -> Config:
+    fields = {f.name for f in dataclasses.fields(Config)}
+    return Config(**{k: v for k, v in vars(args).items() if k in fields})
+
+
+def main(argv=None) -> dict:
+    apply_platform_env()
+    args = build_argparser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    if args.synthetic:
+        train_data, vocab = make_synthetic_split(cfg, num_dialogs=args.synthetic,
+                                                 seed=cfg.seed)
+        val_data, _ = make_synthetic_split(cfg, num_dialogs=max(8, args.synthetic // 4),
+                                           vocab=vocab, seed=cfg.seed + 1)
+    else:
+        train_data, vocab = load_split(cfg.data_dir, "train")
+        val_data, _ = load_split(cfg.data_dir, "val")
+    cfg = cfg.replace(vocab_size=vocab.size).validate()
+
+    run_name = args.run_name or f"{cfg.encoder}-{cfg.decoder}-{int(time.time())}"
+    ckpt_dir = os.path.join(cfg.save_path, run_name)
+    log = MetricsLogger(os.path.join(ckpt_dir, "metrics.jsonl"))
+    log.log({"event": "config", **dataclasses.asdict(cfg),
+             "devices": len(jax.devices()), "backend": jax.default_backend()})
+
+    mesh = make_mesh(cfg.mesh_data, cfg.mesh_model)
+    train_fn = make_train_fn(cfg, mesh)
+    eval_fn = make_eval_fn(cfg, mesh)
+
+    if args.resume and (path := latest_checkpoint(ckpt_dir)):
+        state, cfg_saved, _ = load_checkpoint(path)
+        assert cfg_saved.encoder == cfg.encoder
+        log.log({"event": "resumed", "from": path})
+    else:
+        state = init_train_state(cfg)
+
+    loader = TrainLoader(train_data, vocab, cfg)
+    steps_per_epoch = loader.steps_per_epoch
+    eval_every = cfg.eval_every or steps_per_epoch
+    save_every = cfg.save_every or steps_per_epoch
+    max_steps = args.max_steps or cfg.num_epochs * steps_per_epoch
+
+    prof_range = tuple(int(x) for x in args.profile_steps.split(",")) \
+        if args.profile_steps else None
+
+    step = int(np.asarray(state.opt.step))
+    t_last, s_last = time.time(), step
+    rounds_per_batch = cfg.batch_size * cfg.num_rounds
+    running = None
+    last_eval: dict = {}
+    epoch = step // steps_per_epoch
+    while step < max_steps:
+        for batch in loader.epoch(seed=cfg.seed + epoch):
+            if prof_range and step == prof_range[0]:
+                jax.profiler.start_trace(os.path.join(ckpt_dir, "trace"))
+            b = shard_batch(batch.as_dict(), mesh)
+            state, m = train_fn(state, b)
+            step += 1
+            if prof_range and step == prof_range[1]:
+                jax.profiler.stop_trace()
+            loss = float(m["loss"])
+            running = loss if running is None else 0.95 * running + 0.05 * loss
+            if step % cfg.log_every == 0:
+                dt = time.time() - t_last
+                rps = (step - s_last) * rounds_per_batch / max(dt, 1e-9)
+                log.log({"event": "train", "step": step, "epoch": epoch,
+                         "loss": loss, "running_loss": running,
+                         "lr": float(m["lr"]),
+                         "grad_norm": float(m["grad_norm"]),
+                         "rounds_per_sec": rps,
+                         "rounds_per_sec_per_chip": rps / len(jax.devices())})
+                t_last, s_last = time.time(), step
+            if step % eval_every == 0 or step >= max_steps:
+                metrics = evaluate_split(state.params, val_data, vocab, cfg,
+                                         mesh, eval_fn=eval_fn)
+                last_eval = metrics
+                log.log({"event": "eval", "step": step, **metrics})
+            if step % save_every == 0 or step >= max_steps:
+                path = save_checkpoint(ckpt_dir, state, cfg)
+                log.log({"event": "checkpoint", "step": step, "path": path})
+            if step >= max_steps:
+                break
+        epoch += 1
+    log.log({"event": "done", "step": step, **{f"final_{k}": v
+                                               for k, v in last_eval.items()}})
+    log.close()
+    return last_eval
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Checkpoint / resume.
+
+The reference saves {opt, flat float weights} per epoch via torch.save and
+cannot truly resume (no optimizer state — reference: train.lua checkpoint
+block, SURVEY.md §5).  Here a checkpoint is the FULL training state:
+params + optimizer moments + step + PRNG key + the serialized Config
+(the reference's "opt table inside every checkpoint" design point), written
+as an atomic directory (write to tmp, fsync, rename).
+
+Format: one .npz per pytree (params / opt moments), keys are the flattened
+tree paths; meta.json carries step, rng key, and config.  No orbax
+dependency on the hot path keeps restores trivially portable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..parallel.optim import OptState
+from ..parallel.train_step import TrainState
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def _tree_to_dict(tree) -> dict[str, np.ndarray]:
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {_path_str(path): np.asarray(leaf) for path, leaf in flat}
+
+
+def _dict_to_tree(template, d: dict[str, np.ndarray]):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in flat:
+        arr = d[_path_str(path)]
+        leaves.append(np.asarray(arr, dtype=np.asarray(leaf).dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_checkpoint(directory: str, state: TrainState, cfg: Config,
+                    extra: dict | None = None) -> str:
+    """Atomic write of checkpoints/<step_N>/ under `directory`."""
+    step = int(np.asarray(state.opt.step))
+    final = os.path.join(directory, f"step_{step:08d}")
+    os.makedirs(directory, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=directory, prefix=".tmp_ckpt_")
+    try:
+        np.savez(os.path.join(tmp, "params.npz"), **_tree_to_dict(state.params))
+        np.savez(os.path.join(tmp, "opt_m.npz"), **_tree_to_dict(state.opt.m))
+        np.savez(os.path.join(tmp, "opt_v.npz"), **_tree_to_dict(state.opt.v))
+        meta = {
+            "step": step,
+            "rng": np.asarray(jax.random.key_data(state.rng)).tolist(),
+            "config": json.loads(cfg.to_json()),
+            "extra": extra or {},
+        }
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return final
+
+
+def latest_checkpoint(directory: str) -> str | None:
+    if not os.path.isdir(directory):
+        return None
+    steps = sorted(d for d in os.listdir(directory) if d.startswith("step_"))
+    return os.path.join(directory, steps[-1]) if steps else None
+
+
+def load_checkpoint(path: str) -> tuple[TrainState, Config, dict]:
+    """Rebuild TrainState (reconstructing the model from the embedded
+    config, like evaluate.lua rebuilds the net from the saved opt)."""
+    from ..parallel.train_step import init_train_state
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    cfg = Config.from_dict(meta["config"])
+    template = init_train_state(cfg)
+
+    def load_npz(name):
+        with np.load(os.path.join(path, name)) as z:
+            return dict(z)
+
+    params = _dict_to_tree(template.params, load_npz("params.npz"))
+    m = _dict_to_tree(template.opt.m, load_npz("opt_m.npz"))
+    v = _dict_to_tree(template.opt.v, load_npz("opt_v.npz"))
+    rng = jax.random.wrap_key_data(
+        np.asarray(meta["rng"], dtype=np.uint32))
+    opt = OptState(np.asarray(meta["step"], np.int32), m, v)
+    state = TrainState(params, opt, rng)
+    return state, cfg, meta.get("extra", {})
