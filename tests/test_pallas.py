@@ -1,0 +1,106 @@
+"""Pallas fused kernels vs their pure-JAX twins (SURVEY.md §4 item 2:
+every Pallas kernel must match its lax.scan/einsum reference).
+
+On CPU the kernels run in interpreter mode automatically, so these tests
+validate kernel logic everywhere; the compiled path is exercised on real
+TPU by bench.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visdial_tpu.ops.attention import masked_slot_attention
+from visdial_tpu.ops.lstm import lstm_init, masked_lstm
+
+from conftest import small_config
+
+
+def _right_aligned_mask(lengths, T):
+    lengths = np.asarray(lengths)
+    return jnp.asarray(
+        (np.arange(T)[None, :] >= (T - lengths)[:, None]).astype(np.float32))
+
+
+@pytest.fixture(scope="module")
+def lstm_setup():
+    params = lstm_init(jax.random.PRNGKey(0), 20, 24, 2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 7, 20))
+    mask = _right_aligned_mask([7, 3, 1, 5, 7, 2], 7)
+    return params, x, mask
+
+
+def test_lstm_pallas_matches_xla(lstm_setup):
+    params, x, mask = lstm_setup
+    out_x, (h_x, c_x) = masked_lstm(params, x, mask, impl="xla")
+    out_p, (h_p, c_p) = masked_lstm(params, x, mask, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(out_p), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_x), np.asarray(h_p), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_x), np.asarray(c_p), atol=1e-5)
+
+
+def test_lstm_pallas_initial_state(lstm_setup):
+    """forwardConnect path: non-zero (h0, c0) must round through the kernel."""
+    params, x, mask = lstm_setup
+    h0 = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 24))
+    c0 = jax.random.normal(jax.random.PRNGKey(3), (2, 6, 24))
+    _, (h_x, c_x) = masked_lstm(params, x, mask, h0, c0, impl="xla")
+    _, (h_p, c_p) = masked_lstm(params, x, mask, h0, c0, impl="pallas")
+    np.testing.assert_allclose(np.asarray(h_x), np.asarray(h_p), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_x), np.asarray(c_p), atol=1e-5)
+
+
+def test_lstm_pallas_carry_through_all_pad(lstm_setup):
+    """A fully-padded row must return its initial state unchanged."""
+    params, x, _ = lstm_setup
+    mask = jnp.zeros((6, 7))
+    h0 = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 24))
+    c0 = jax.random.normal(jax.random.PRNGKey(3), (2, 6, 24))
+    _, (h_p, c_p) = masked_lstm(params, x, mask, h0, c0, impl="pallas")
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c0), atol=1e-6)
+
+
+def test_lstm_pallas_grads_match(lstm_setup):
+    params, x, mask = lstm_setup
+
+    def loss(p, impl):
+        o, (h, _) = masked_lstm(p, x, mask, impl=impl)
+        return jnp.sum(o ** 2) + jnp.sum(h ** 2)
+
+    g_x = jax.grad(lambda p: loss(p, "xla"))(params)
+    g_p = jax.grad(lambda p: loss(p, "pallas"))(params)
+    for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_attention_pallas_matches_xla():
+    q = jax.random.normal(jax.random.PRNGKey(2), (6, 4, 16))
+    s = jax.random.normal(jax.random.PRNGKey(3), (6, 4, 16))
+    valid = jnp.broadcast_to(jnp.tril(jnp.ones((4, 4)))[None], (6, 4, 4))
+    a_x = masked_slot_attention(q, s, valid, impl="xla")
+    a_p = masked_slot_attention(q, s, valid, impl="pallas")
+    np.testing.assert_allclose(np.asarray(a_x), np.asarray(a_p), atol=1e-5)
+
+    def loss(q, impl):
+        return jnp.sum(masked_slot_attention(q, s, valid, impl=impl) ** 2)
+
+    g_x = jax.grad(lambda q: loss(q, "xla"))(q)
+    g_p = jax.grad(lambda q: loss(q, "pallas"))(q)
+    np.testing.assert_allclose(np.asarray(g_x), np.asarray(g_p), atol=1e-5)
+
+
+def test_model_scores_pallas_twin(tiny_data):
+    """Full model candidate scoring agrees across impls (MN encoder hits
+    both the LSTM and attention kernels)."""
+    from visdial_tpu.data.loader import EvalLoader
+    from visdial_tpu.models.model import model_init, model_scores
+
+    split, vocab, cfg = tiny_data
+    cfg = cfg.replace(encoder="mn-ques-im-hist", decoder="disc")
+    params = model_init(jax.random.PRNGKey(0), cfg)
+    batch = next(iter(EvalLoader(split, vocab, cfg, batch_size=4))).as_dict()
+    s_x = model_scores(params, batch, cfg, impl="xla")
+    s_p = model_scores(params, batch, cfg, impl="pallas")
+    np.testing.assert_allclose(np.asarray(s_x), np.asarray(s_p), atol=2e-4)

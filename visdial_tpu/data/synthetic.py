@@ -112,3 +112,49 @@ def make_synthetic_split(
         img_ids=np.arange(N, dtype=np.int64),
     ).validate()
     return split, vocab
+
+
+def random_batch(cfg: Config, seed: int = 0, batch_size: int | None = None,
+                 full_lengths: bool = True) -> dict:
+    """Random model-ready batch arrays at the configured shapes.
+
+    For compile checks and throughput benchmarks only (no learnable
+    structure).  With full_lengths=True every sequence uses its maximum
+    length — the compute worst case, which is what a throughput number
+    should measure.  Includes every field any encoder/decoder pair reads;
+    unused fields are ignored by the model.
+    """
+    rng = np.random.default_rng(seed)
+    B = batch_size or cfg.batch_size
+    R, K = cfg.num_rounds, cfg.num_options
+    Lq, La = cfg.max_ques_len, cfg.max_ans_len
+    V = max(cfg.vocab_size, 5)
+
+    def toks(*shape):
+        return rng.integers(1, V - 3, size=shape).astype(np.int32)
+
+    ans = toks(B, R, La)
+    opt = toks(B, R, K, La)
+    start, end = V - 2, V - 1
+    ans_in = np.concatenate([np.full((B, R, 1), start, np.int32), ans], axis=-1)
+    ans_out = np.concatenate([ans, np.full((B, R, 1), end, np.int32)], axis=-1)
+    opt_in = np.concatenate([np.full((B, R, K, 1), start, np.int32), opt], axis=-1)
+    opt_out = np.concatenate([opt, np.full((B, R, K, 1), end, np.int32)], axis=-1)
+    batch = {
+        "ques": toks(B, R, Lq),
+        "hist_concat": toks(B, R, cfg.max_hist_concat_len),
+        "facts": toks(B, R, cfg.max_fact_len),
+        "fact_len": np.full((B, R), cfg.max_fact_len, np.int32),
+        "img": rng.standard_normal((B, cfg.img_feat_size)).astype(np.float32),
+        "ans_in": ans_in, "ans_out": ans_out,
+        "opt": opt, "opt_len": np.full((B, R, K), La, np.int32),
+        "opt_in": opt_in, "opt_out": opt_out,
+        "gt_ind": rng.integers(0, K, size=(B, R)).astype(np.int32),
+        "dialog_valid": np.ones(B, np.int32),
+    }
+    if not full_lengths:
+        for k in ("ques", "facts"):
+            keep = rng.integers(1, batch[k].shape[-1] + 1, size=batch[k].shape[:-1])
+            mask = np.arange(batch[k].shape[-1]) < keep[..., None]
+            batch[k] = np.where(mask, batch[k], 0)
+    return batch

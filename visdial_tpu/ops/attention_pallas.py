@@ -1,0 +1,99 @@
+"""Fused Pallas kernel for masked history-attention over dialog-round slots.
+
+One VMEM pass fuses the reference MN/HREA attention chain — dot-product
+scores, causal slot masking, softmax, weighted slot sum (reference:
+encoders/mn-ques-im-hist.lua attention block; SURVEY.md §3.5) — so the
+(B, R, S) score/attention tensors never materialize in HBM.
+
+Shapes are tiny on the slot axes (R = S = 10 rounds) and MXU-sized on the
+hidden axis (H = 512); the grid tiles the batch.  The mask is an explicit
+input so a blockwise/long-sequence variant stays kernel-local (SURVEY.md §5
+long-context decision).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _attention_kernel(q_ref, s_ref, valid_ref, out_ref):
+    """Blocks: q (TB,R,H), s (TB,S,H), valid (TB,R,S), out (TB,R,H)."""
+    q = q_ref[:].astype(jnp.float32)
+    s = s_ref[:].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        q, s, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                 # (TB, R, S)
+    scores = jnp.where(valid_ref[:] > 0, scores, NEG_INF)
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores)
+    att = e / jnp.sum(e, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        att, s, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                 # (TB, R, H)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+@jax.custom_vjp
+def _attention(query, slots, valid):
+    interpret = jax.default_backend() != "tpu"
+    B, R, H = query.shape
+    S = slots.shape[1]
+    TB = 8
+    B_pad = -(-B // TB) * TB
+    if B_pad != B:
+        pad = B_pad - B
+        query = jnp.pad(query, ((0, pad), (0, 0), (0, 0)))
+        slots = jnp.pad(slots, ((0, pad), (0, 0), (0, 0)))
+        valid = jnp.pad(valid, ((0, pad), (0, 0), (0, 0)),
+                        constant_values=1.0)  # all-masked rows would NaN
+    blk = lambda i: (i, 0, 0)
+    out = pl.pallas_call(
+        _attention_kernel,
+        grid=(B_pad // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, R, H), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, S, H), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, R, S), blk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, R, H), blk, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B_pad, R, H), query.dtype),
+        interpret=interpret,
+    )(query, slots, valid)
+    return out[:B]
+
+
+def _attention_ref(query, slots, valid):
+    scores = jnp.einsum("brh,bsh->brs", query, slots,
+                        preferred_element_type=jnp.float32)
+    scores = jnp.where(valid > 0, scores, NEG_INF)
+    att = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("brs,bsh->brh", att, slots,
+                      preferred_element_type=jnp.float32).astype(query.dtype)
+
+
+def _attention_fwd(query, slots, valid):
+    return _attention(query, slots, valid), (query, slots, valid)
+
+
+def _attention_bwd(residuals, g):
+    query, slots, valid = residuals
+
+    def ref(query, slots):
+        return _attention_ref(query, slots, valid)
+
+    _, vjp = jax.vjp(ref, query, slots)
+    dq, ds = vjp(g)
+    return dq, ds, jnp.zeros_like(valid)
+
+
+_attention.defvjp(_attention_fwd, _attention_bwd)
+
+
+def masked_slot_attention_pallas(query, slots, valid):
+    """Fused twin of ops.attention.masked_slot_attention(impl='xla')."""
+    return _attention(query, slots, valid)

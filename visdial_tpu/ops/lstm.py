@@ -58,7 +58,8 @@ def lstm_cell(w, b, x_t, h_prev, c_prev, mask_t, hidden_size: int):
     c_new = f * c_prev + i * g
     h_new = o * jnp.tanh(c_new)
     m = mask_t[:, None]
-    return m * h_new + (1 - m) * h_prev, m * c_new + (1 - m) * c_prev
+    return ((m * h_new + (1 - m) * h_prev).astype(h_prev.dtype),
+            (m * c_new + (1 - m) * c_prev).astype(c_prev.dtype))
 
 
 def masked_lstm(

@@ -1,0 +1,304 @@
+"""Fused Pallas TPU kernel for the masked multi-layer LSTM scan.
+
+Replaces the per-timestep kernel-launch pattern of the reference's
+Element-Research rnn SeqLSTM stack (reference: external dep; SURVEY.md §2b)
+with one TPU kernel per layer: gate weights stay resident in VMEM, the time
+loop runs inside the kernel, and hidden/cell state never round-trips HBM
+between steps.  Mask semantics match ops/lstm.py exactly: padded steps carry
+(h, c) through unchanged.
+
+Layout choices (see /opt/skills/guides/pallas_guide.md):
+  * grid over batch tiles; each program owns TB rows for the whole sequence;
+  * weights are split W -> (Wx, Wh) and the input-feature dim is zero-padded
+    to a lane multiple (128) so every matmul is MXU-tileable;
+  * matmuls run in the input dtype (bfloat16 on the fast path, float32 in
+    tests) with float32 accumulation; h/c carries are float32 always;
+  * the batch tile TB adapts to T so x + hs + weights fit the ~16MB VMEM.
+
+Gradients: `masked_lstm_pallas` carries a custom VJP whose backward
+recomputes through the pure-JAX twin (ops/lstm.py impl='xla') — numerically
+the same recurrence, so training through the fused forward is correct; the
+fully-fused backward kernel is tracked as a follow-up optimization.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+VMEM_BUDGET = 13 * 1024 * 1024  # of the ~16MB scoped VMEM per program
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pick_tile(T: int, E_pad: int, H: int, itemsize: int) -> int:
+    """Largest batch tile (multiple of 8, <=512) such that everything a grid
+    program holds fits the scoped VMEM budget: the weight scratch (single
+    copy — weights are DMA'd once, outside the pipeline), the pipelined
+    per-step blocks (x_t, hs_t, mask row, boundary state blocks; Mosaic
+    double-buffers these), the h/c carry scratch, and the f32 gate
+    temporaries."""
+    weights = (E_pad + H + 8) * 4 * H * itemsize + 4 * H * 4
+    per_row = (
+        2 * (E_pad + H) * itemsize                 # x_t + hs_t blocks (x2 DB)
+        + 2 * _round_up(T, LANE) * itemsize        # mask row (lane-padded)
+        + 2 * 4 * H * 4                            # h0/c0/ht/ct blocks (x2 DB)
+        + 2 * H * 4                                # h/c carry scratch
+        + 4 * 4 * H * 4)                           # f32 gates + slices (stack)
+    tb = max(VMEM_BUDGET - weights, 0) // max(per_row, 1)
+    return max(8, min(512, (tb // 8) * 8))
+
+
+def _lstm_layer_kernel(x_ref, mask_ref, wx_hbm, wh_hbm, b_hbm,
+                       h0_ref, c0_ref, hs_ref, ht_ref, ct_ref,
+                       wx_ref, wh_ref, b_ref, h_scr, c_scr, dma_sems,
+                       *, T: int):
+    """One LSTM step for one batch tile: grid = (batch tiles, time).
+
+    Time is the *grid's* minor dimension — the canonical Mosaic recurrence
+    shape: Mosaic streams the per-step x block in and the per-step hs block
+    out (double-buffered DMA overlapped with compute) while the recurrent
+    (h, c) carry lives in VMEM scratch that persists across grid steps.
+
+    Blocks: x_t (1,TB,Ep) of time-major x; hs_t (1,TB,H); mask (TB,T);
+    h0/c0/ht/ct (TB,H) f32.  Weights arrive in ANY memory space and are
+    DMA'd once into VMEM scratch (pipelined inputs would be double-buffered,
+    wasting 2x the weight footprint).  The mask column for step t is
+    extracted with a one-hot matmul rather than a dynamic lane slice
+    (lane-alignment constraint).
+    """
+    t = pl.program_id(1)
+    TB = x_ref.shape[1]
+    H = wh_ref.shape[0]
+
+    @pl.when((pl.program_id(0) == 0) & (t == 0))
+    def _load_weights():
+        copies = [pltpu.make_async_copy(src, dst, dma_sems.at[i])
+                  for i, (src, dst) in enumerate(
+                      ((wx_hbm, wx_ref), (wh_hbm, wh_ref), (b_hbm, b_ref)))]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+    @pl.when(t == 0)
+    def _init_state():
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+    h, c = h_scr[:], c_scr[:]                               # f32 (TB, H)
+    x_t = x_ref[0]                                          # (TB, E_pad)
+    gates = (
+        jnp.dot(x_t, wx_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
+                  preferred_element_type=jnp.float32)
+        + b_ref[:].astype(jnp.float32)
+    )
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H:2 * H])
+    g = jnp.tanh(gates[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H:])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+    onehot = (t_ids == t).astype(jnp.float32)               # (T, 1)
+    m = jnp.dot(mask_ref[:].astype(jnp.float32), onehot,
+                preferred_element_type=jnp.float32)         # (TB, 1)
+    h = m * h_new + (1.0 - m) * h
+    c = m * c_new + (1.0 - m) * c
+    h_scr[:] = h
+    c_scr[:] = c
+    hs_ref[0] = h.astype(hs_ref.dtype)
+
+    @pl.when(t == T - 1)
+    def _final():
+        ht_ref[:] = h
+        ct_ref[:] = c
+
+
+def lstm_layer_pallas(w, b, x, mask, h0, c0, *, interpret: bool | None = None):
+    """One masked LSTM layer.  w (E+H, 4H) packed [x; h] like ops/lstm.py.
+
+    x (N, T, E) in compute dtype; mask (N, T); h0/c0 (N, H) f32.
+    Returns hs (N, T, H) in x.dtype and (hT, cT) f32.
+    """
+    if interpret is None:  # run compiled on TPU, interpreted elsewhere
+        interpret = jax.default_backend() != "tpu"
+    N, T, E = x.shape
+    H = w.shape[1] // 4
+    dtype = x.dtype
+    E_pad = _round_up(E, LANE)
+
+    wx = w[:E].astype(dtype)
+    if E_pad != E:
+        wx = jnp.pad(wx, ((0, E_pad - E), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, E_pad - E)))
+    wh = w[E:].astype(dtype)
+    b2 = b.reshape(1, -1).astype(jnp.float32)
+
+    TB = _pick_tile(T, E_pad, H, jnp.dtype(dtype).itemsize)
+    N_pad = _round_up(N, TB)
+    if N_pad != N:
+        pad = ((0, N_pad - N), (0, 0))
+        x = jnp.pad(x, pad + ((0, 0),))
+        mask = jnp.pad(mask, pad)
+        h0 = jnp.pad(h0, pad)
+        c0 = jnp.pad(c0, pad)
+
+    x_tm = jnp.swapaxes(x, 0, 1)                 # (T, N_pad, E_pad)
+    grid = (N_pad // TB, T)
+    step_blk = lambda i, t: (t, i, 0)
+    row_blk = lambda i, t: (i, 0)
+
+    hs, ht, ct = pl.pallas_call(
+        functools.partial(_lstm_layer_kernel, T=T),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TB, E_pad), step_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, T), row_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # wx — DMA'd to scratch
+            pl.BlockSpec(memory_space=pltpu.ANY),   # wh
+            pl.BlockSpec(memory_space=pltpu.ANY),   # b
+            pl.BlockSpec((TB, H), row_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, H), row_blk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TB, H), step_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, H), row_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, H), row_blk, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, N_pad, H), dtype),
+            jax.ShapeDtypeStruct((N_pad, H), jnp.float32),
+            jax.ShapeDtypeStruct((N_pad, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((E_pad, 4 * H), dtype),
+            pltpu.VMEM((H, 4 * H), dtype),
+            pltpu.VMEM((1, 4 * H), jnp.float32),
+            pltpu.VMEM((TB, H), jnp.float32),
+            pltpu.VMEM((TB, H), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # the time axis carries the recurrence through scratch — both
+            # grid dims must run sequentially on one core
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N_pad * T * (E_pad + H) * 4 * H,
+            bytes_accessed=(N_pad * T * (E_pad + H)
+                            + (E_pad + H) * 4 * H) * 4,
+            transcendentals=N_pad * T * 4 * H,
+        ),
+        interpret=interpret,
+    )(x_tm, mask.astype(dtype), wx, wh, b2, h0, c0)
+    return jnp.swapaxes(hs, 0, 1)[:N], ht[:N], ct[:N]
+
+
+def _layer_xla(w, b, x, mask, h0, c0):
+    """Single-layer pure-JAX twin matching lstm_layer_pallas's numerics:
+    f32 carries, matmuls in x.dtype with f32 accumulation."""
+    H = w.shape[1] // 4
+    E = x.shape[-1]
+    wx, wh = w[:E].astype(x.dtype), w[E:].astype(x.dtype)
+    bf = b.astype(jnp.float32)
+    mask_f = mask.astype(jnp.float32)
+
+    def step(carry, xs):
+        h, c = carry
+        x_t, m_t = xs
+        gates = (jnp.dot(x_t, wx, preferred_element_type=jnp.float32)
+                 + jnp.dot(h.astype(wh.dtype), wh,
+                           preferred_element_type=jnp.float32) + bf)
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H:2 * H])
+        g = jnp.tanh(gates[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H:])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        m = m_t[:, None]
+        h = m * h_new + (1.0 - m) * h
+        c = m * c_new + (1.0 - m) * c
+        return (h, c), h.astype(x.dtype)
+
+    (ht, ct), hs = jax.lax.scan(
+        step, (h0, c0),
+        (jnp.swapaxes(x, 0, 1), jnp.swapaxes(mask_f, 0, 1)))
+    return jnp.swapaxes(hs, 0, 1), ht, ct
+
+
+@jax.custom_vjp
+def _layer(w, b, x, mask, h0, c0):
+    return lstm_layer_pallas(w, b, x, mask, h0, c0)
+
+
+def _layer_fwd(w, b, x, mask, h0, c0):
+    out = _layer(w, b, x, mask, h0, c0)
+    return out, (w, b, x, mask, h0, c0)
+
+
+def _layer_bwd(residuals, g):
+    """Backward via the single-layer XLA twin (identical recurrence);
+    the fully-fused Pallas backward kernel is a tracked follow-up."""
+    w, b, x, mask, h0, c0 = residuals
+
+    def ref(w, b, x, h0, c0):
+        return _layer_xla(w, b, x, mask, h0, c0)
+
+    _, vjp = jax.vjp(ref, w, b, x, h0, c0)
+    dw, db, dx, dh0, dc0 = vjp(g)
+    return dw, db, dx, jnp.zeros_like(mask), dh0, dc0
+
+
+_layer.defvjp(_layer_fwd, _layer_bwd)
+
+
+def masked_lstm_pallas(params, x, mask, h0=None, c0=None, *,
+                       dropout_rng=None, dropout_rate: float = 0.0,
+                       interpret: bool = False):
+    """Drop-in fused twin of ops.lstm.masked_lstm(impl='xla').
+
+    Returns (outputs (N,T,H) in x.dtype, (h_final, c_final) each (L,N,H)
+    in x.dtype).  Inter-layer dropout happens between kernel calls at the
+    XLA level, exactly like the pure twin.
+    """
+    layers = params["layers"]
+    num_layers = len(layers)
+    N = x.shape[0]
+    H = layers[0]["w"].shape[1] // 4
+    mask_f = mask.astype(jnp.float32)
+    if h0 is None:
+        h0 = jnp.zeros((num_layers, N, H), jnp.float32)
+    if c0 is None:
+        c0 = jnp.zeros((num_layers, N, H), jnp.float32)
+
+    layer_in = x
+    h_fin, c_fin = [], []
+    for li, lp in enumerate(layers):
+        args = (lp["w"], lp["b"], layer_in, mask_f,
+                h0[li].astype(jnp.float32), c0[li].astype(jnp.float32))
+        if interpret:  # test path: direct kernel call in interpreter mode
+            hs, ht, ct = lstm_layer_pallas(*args, interpret=True)
+        else:
+            hs, ht, ct = _layer(*args)
+        h_fin.append(ht)
+        c_fin.append(ct)
+        layer_in = hs
+        if li < num_layers - 1 and dropout_rate > 0.0 and dropout_rng is not None:
+            dropout_rng, sub = jax.random.split(dropout_rng)
+            keep = 1.0 - dropout_rate
+            dm = jax.random.bernoulli(sub, keep, layer_in.shape)
+            layer_in = jnp.where(dm, layer_in / keep, 0.0)
+
+    out_dtype = x.dtype
+    return (layer_in,
+            (jnp.stack(h_fin).astype(out_dtype),
+             jnp.stack(c_fin).astype(out_dtype)))

@@ -39,6 +39,50 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _leaf_path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def param_pspec(path: str, ndim: int) -> P:
+    """Sharding rule for one parameter leaf, by tree path.
+
+    Vocab-dimensioned parameters go on the 'model' axis (the vocab-parallel
+    embedding / output-projection layout): the embedding table is sharded by
+    row, the gen decoder's output projection by column.  Everything else —
+    the 512-hidden LSTM/fusion weights — is replicated: at this model scale
+    tensor parallelism costs more in collectives than it saves (SURVEY.md
+    §2c), but the rules live here so widening coverage is a rule change,
+    not a redesign.  With a size-1 model axis every rule degrades to
+    replicated.
+    """
+    if path.endswith("embed/table") and ndim == 2:
+        return P("model", None)
+    if path.endswith("out_proj/w") and ndim == 2:
+        return P(None, "model")
+    if path.endswith("out_proj/b") and ndim == 1:
+        return P("model")
+    return P()
+
+
+def tree_shardings(template, mesh: Mesh):
+    """Pytree of NamedShardings for a state/params template (abstract or
+    concrete); leaves are matched by tree path via param_pspec."""
+
+    def to_sharding(path, leaf):
+        spec = param_pspec(_leaf_path_str(path), len(getattr(leaf, "shape", ())))
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(to_sharding, template)
+
+
 def shard_batch(batch_dict: dict, mesh: Mesh) -> dict:
     """device_put every batch array with the data-axis sharding."""
     sh = batch_sharding(mesh)

@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
 from ..models.model import model_init, model_loss, model_scores
-from .mesh import batch_sharding, replicated
+from .mesh import batch_sharding, replicated, tree_shardings
 from .optim import OptState, apply_updates, init_opt_state, lr_at_step
 
 
@@ -34,6 +34,19 @@ def init_train_state(cfg: Config, rng=None) -> TrainState:
     init_rng, state_rng = jax.random.split(rng)
     params = model_init(init_rng, cfg)
     return TrainState(params, init_opt_state(params, cfg), state_rng)
+
+
+def state_shardings(cfg: Config, mesh: Mesh) -> TrainState:
+    """Pytree of NamedShardings mirroring TrainState: batch-independent
+    parameters follow mesh.param_pspec (vocab-dim leaves on 'model', the
+    rest replicated); optimizer moments mirror their parameters."""
+    template = jax.eval_shape(lambda: init_train_state(cfg))
+    return tree_shardings(template, mesh)
+
+
+def shard_train_state(state: TrainState, cfg: Config, mesh: Mesh) -> TrainState:
+    """device_put the whole state with its layout of record."""
+    return jax.device_put(state, state_shardings(cfg, mesh))
 
 
 def train_step(state: TrainState, batch: dict, cfg: Config,
@@ -52,26 +65,29 @@ def train_step(state: TrainState, batch: dict, cfg: Config,
 def make_train_fn(cfg: Config, mesh: Mesh, impl: str | None = None):
     """jit(train_step) with explicit shardings over the mesh.
 
-    Params/opt replicated, batch sharded on 'data', donated state.
+    State laid out per state_shardings (vocab-dim params on 'model', rest
+    replicated), batch sharded on 'data', donated state.  XLA inserts the
+    gradient all-reduce over 'data' (ICI) from these annotations.
     """
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
+    ssh = state_shardings(cfg, mesh)
 
     fn = partial(train_step, cfg=cfg, impl=impl)
     return jax.jit(
         fn,
-        in_shardings=(rep, bsh),
-        out_shardings=(rep, rep),
+        in_shardings=(ssh, bsh),
+        out_shardings=(ssh, rep),
         donate_argnums=(0,),
     )
 
 
 def make_eval_fn(cfg: Config, mesh: Mesh, impl: str | None = None):
     """jit(model_scores): batch -> (B, R, K) candidate scores."""
-    rep = replicated(mesh)
     bsh = batch_sharding(mesh)
+    psh = state_shardings(cfg, mesh).params
 
     def score(params, batch):
         return model_scores(params, batch, cfg, impl=impl)
 
-    return jax.jit(score, in_shardings=(rep, bsh), out_shardings=bsh)
+    return jax.jit(score, in_shardings=(psh, bsh), out_shardings=bsh)
