@@ -124,3 +124,42 @@ def test_variants_differ():
     batch2["img"] = batch["img"] + 1.0
     j2 = encoder_apply(params["encoder"], params["embed"], batch2, cfg)
     assert not np.allclose(np.asarray(j1), np.asarray(j2))
+
+
+def test_gen_decode_shapes_and_determinism(tiny_data):
+    """Token-by-token decoding (generate.lua equivalent): greedy decode is
+    deterministic, emits int32 tokens with pad-after-end semantics."""
+    import jax
+    import numpy as np
+
+    from visdial_tpu.data.loader import EvalLoader
+    from visdial_tpu.data.synthetic import synthetic_vocab
+    from visdial_tpu.models.model import model_generate, model_init
+
+    split, vocab, cfg = tiny_data
+    cfg = cfg.replace(encoder="lf-ques-im-hist", decoder="gen")
+    params = model_init(jax.random.PRNGKey(0), cfg)
+    batch = next(iter(EvalLoader(split, vocab, cfg, batch_size=4))).as_dict()
+
+    toks1, logp1 = model_generate(params, batch, cfg, start_token=vocab.start,
+                                  end_token=vocab.end, greedy=True)
+    toks2, _ = model_generate(params, batch, cfg, start_token=vocab.start,
+                              end_token=vocab.end, greedy=True)
+    assert toks1.shape == (4, cfg.num_rounds, cfg.max_ans_len)
+    assert logp1.shape == (4, cfg.num_rounds)
+    np.testing.assert_array_equal(np.asarray(toks1), np.asarray(toks2))
+    t = np.asarray(toks1)
+    assert t.dtype == np.int32
+    # pad-after-end: once a row emits 0, everything after is 0
+    flat = t.reshape(-1, cfg.max_ans_len)
+    for row in flat:
+        if (row == 0).any():
+            first0 = int(np.argmax(row == 0))
+            assert (row[first0:] == 0).all()
+    assert np.all(np.asarray(logp1) <= 0.0)
+
+    # sampling path runs and respects the rng
+    toks3, _ = model_generate(params, batch, cfg, start_token=vocab.start,
+                              end_token=vocab.end, greedy=False,
+                              rng=jax.random.PRNGKey(1), temperature=0.9)
+    assert toks3.shape == toks1.shape

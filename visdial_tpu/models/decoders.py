@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from ..ops.lstm import lstm_init, masked_lstm
+from ..ops.lstm import lstm_init, lstm_step, masked_lstm
 from .core import embed, linear, linear_init
 
 
@@ -102,6 +102,46 @@ def gen_candidate_scores(params, embed_params, joint, opt_in, opt_out,
     tok_lp = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
     mask = (tgt != 0).astype(logits.dtype)
     return jnp.sum(tok_lp * mask, axis=-1).reshape(N, K)
+
+
+def gen_decode(params, embed_params, joint, cfg: Config, *,
+               start_token: int, end_token: int, max_len: int | None = None,
+               greedy: bool = True, rng=None, temperature: float = 1.0):
+    """Token-by-token answer decoding (reference: generate.lua step loop —
+    feed <START>, argmax/sample, feed back until <END>/max length).
+
+    joint (N, H).  Returns (tokens (N, max_len) int32 with 0 after <END>,
+    log-probs (N,) summed over emitted tokens).  Greedy when `greedy`,
+    else temperature sampling (rng required).  Batch-parallel: the whole
+    batch decodes in one lax.scan, no Python loop.
+    """
+    N = joint.shape[0]
+    max_len = max_len or cfg.max_ans_len
+    h0, c0 = _joint_to_state(joint, cfg.num_layers)
+
+    def step(carry, step_rng):
+        tok, h, c, done, lp_sum = carry
+        x_t = embed(embed_params, tok[:, None])[:, 0]       # (N, E)
+        top, h, c = lstm_step(params["lm_lstm"], x_t, h, c)
+        logits = linear(params["out_proj"], top)            # (N, V)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        if greedy:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            nxt = jax.random.categorical(
+                step_rng, logits / temperature, axis=-1).astype(jnp.int32)
+        tok_lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+        emit = jnp.where(done | (nxt == end_token), 0, nxt)
+        lp_sum = lp_sum + jnp.where(done, 0.0, tok_lp)
+        done = done | (nxt == end_token)
+        return (jnp.where(emit == 0, end_token, emit), h, c, done, lp_sum), emit
+
+    keys = (jax.random.split(rng, max_len) if rng is not None
+            else jnp.zeros((max_len, 2), jnp.uint32))
+    init = (jnp.full((N,), start_token, jnp.int32), h0, c0,
+            jnp.zeros((N,), bool), jnp.zeros((N,), jnp.float32))
+    (_, _, _, _, logp), toks = jax.lax.scan(step, init, keys)
+    return jnp.swapaxes(toks, 0, 1), logp
 
 
 # ---------------------------------------------------------------------------

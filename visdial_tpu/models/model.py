@@ -21,6 +21,7 @@ from .decoders import (
     disc_loss,
     disc_scores,
     gen_candidate_scores,
+    gen_decode,
     gen_loss,
 )
 from .encoders import encoder_apply, encoder_init
@@ -72,3 +73,22 @@ def model_scores(params, batch, cfg: Config, *, impl: str | None = None):
                              batch["opt"].reshape(N, K, -1), cfg, impl=impl)
     B = batch["ques"].shape[0]
     return scores.reshape(B, cfg.num_rounds, K)
+
+
+def model_generate(params, batch, cfg: Config, *, start_token: int,
+                   end_token: int, greedy: bool = True, rng=None,
+                   temperature: float = 1.0, impl: str | None = None):
+    """Decode answers for every (dialog, round): returns tokens (B, R, La)
+    and summed log-probs (B, R).  Gen decoder only (reference: generate.lua
+    loads gen checkpoints)."""
+    assert cfg.decoder == "gen", "generation requires the gen decoder"
+    impl = impl or _impl(cfg)
+    joint = encoder_apply(params["encoder"], params["embed"], batch, cfg,
+                          train=False, rng=None, impl=impl)
+    toks, logp = gen_decode(
+        params["decoder"], params["embed"], joint, cfg,
+        start_token=start_token, end_token=end_token,
+        greedy=greedy, rng=rng, temperature=temperature)
+    B = batch["ques"].shape[0]
+    return (toks.reshape(B, cfg.num_rounds, -1),
+            logp.reshape(B, cfg.num_rounds))

@@ -137,3 +137,23 @@ def last_state(outputs_and_final):
     """Top-layer final hidden state (B, H) from masked_lstm's return."""
     _, (h_final, _) = outputs_and_final
     return h_final[-1]
+
+
+def lstm_step(params: dict, x_t: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
+    """One unmasked time step through the stacked LSTM (decode path).
+
+    x_t (B, E); h, c (num_layers, B, H).  Returns (top-layer h, new h, new c).
+    Used by the token-by-token generator (reference: generate.lua step loop)
+    where every position is a real token, so no mask argument.
+    """
+    H = params["layers"][0]["w"].shape[1] // 4
+    ones = jnp.ones((x_t.shape[0],), x_t.dtype)
+    layer_in = x_t
+    hs, cs = [], []
+    for li, lp in enumerate(params["layers"]):
+        h_new, c_new = lstm_cell(lp["w"], lp["b"], layer_in, h[li], c[li],
+                                 ones, H)
+        hs.append(h_new)
+        cs.append(c_new)
+        layer_in = h_new
+    return layer_in, jnp.stack(hs), jnp.stack(cs)
