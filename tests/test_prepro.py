@@ -1,0 +1,129 @@
+"""Offline data pipeline: VisDial-JSON -> artifacts -> loader round trip,
+and the VGG-16 feature extractor (reference: data/prepro.py +
+data/prepro_img.lua equivalents)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from visdial_tpu.data.dataset import load_split
+from visdial_tpu.data.prepro import main as prepro_main, tokenize
+
+from conftest import small_config
+
+R, K = 4, 6  # small protocol for fixtures
+
+
+def make_visdial_json(path, num_dialogs, num_q, num_a, seed=0):
+    """Minimal released-schema VisDial JSON."""
+    rng = np.random.default_rng(seed)
+    words = [f"tok{i}" for i in range(30)] + ["a", "the", "dog", "red", "no"]
+    def sent(n):
+        return " ".join(rng.choice(words, size=n))
+    questions = [sent(rng.integers(2, 6)) + " ?" for _ in range(num_q)]
+    answers = [sent(rng.integers(1, 4)) for _ in range(num_a)]
+    dialogs = []
+    for i in range(num_dialogs):
+        rounds = []
+        for _ in range(R):
+            ai = int(rng.integers(0, num_a))
+            opts = rng.choice([x for x in range(num_a) if x != ai],
+                              size=K - 1, replace=False).tolist()
+            slot = int(rng.integers(0, K))
+            opts.insert(slot, ai)
+            rounds.append({"question": int(rng.integers(0, num_q)),
+                           "answer": ai, "answer_options": opts,
+                           "gt_index": slot})
+        dialogs.append({"image_id": 1000 + i, "caption": sent(5),
+                        "dialog": rounds})
+    with open(path, "w") as f:
+        json.dump({"data": {"questions": questions, "answers": answers,
+                            "dialogs": dialogs}, "version": "0.9"}, f)
+
+
+def test_tokenize_lowercase_and_punct():
+    toks = tokenize("Is there a Dog?")
+    assert toks == ["is", "there", "a", "dog", "?"]
+
+
+@pytest.fixture(scope="module")
+def prepro_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("prepro")
+    make_visdial_json(d / "train.json", 12, 40, 30, seed=0)
+    make_visdial_json(d / "val.json", 6, 40, 30, seed=1)
+    feats = np.random.default_rng(0).standard_normal((12, 32)).astype(np.float32)
+    np.savez(d / "feats_train.npz", images_train=feats)
+    np.savez(d / "feats_val.npz", images_val=feats[:6])
+    prepro_main([
+        "--train_json", str(d / "train.json"),
+        "--val_json", str(d / "val.json"),
+        "--img_feats_train", str(d / "feats_train.npz"),
+        "--img_feats_val", str(d / "feats_val.npz"),
+        "--out_dir", str(d / "out"),
+        "--min_count", "1",
+        "--max_ques_len", "8", "--max_ans_len", "5", "--max_cap_len", "8",
+        "--num_rounds", str(R), "--num_options", str(K),
+    ])
+    return str(d / "out")
+
+
+def test_prepro_artifacts_roundtrip(prepro_dir):
+    train, vocab = load_split(prepro_dir, "train")
+    val, _ = load_split(prepro_dir, "val")
+    assert train.num_dialogs == 12 and val.num_dialogs == 6
+    assert train.num_rounds == R
+    assert train.opt_inds.shape[2] == K
+    # gt_ind points at the ground-truth answer row
+    for i in range(train.num_dialogs):
+        for r in range(R):
+            gt_row = train.opt_inds[i, r, train.gt_ind[i, r]]
+            np.testing.assert_array_equal(train.opt_list[gt_row],
+                                          train.ans[i, r, :5])
+    # pad index 0 never appears as a real token id
+    assert vocab.size > 4
+    assert 0 not in vocab.word2ind.values()
+
+
+def test_prepro_feeds_loader(prepro_dir):
+    from visdial_tpu.data.loader import TrainLoader
+
+    train, vocab = load_split(prepro_dir, "train")
+    cfg = small_config(
+        vocab_size=vocab.size, encoder="mn-ques-im-hist", decoder="disc",
+        max_ques_len=8, max_ans_len=5, max_cap_len=8,
+        num_rounds=R, num_options=K, batch_size=4, img_feat_size=32,
+    )
+    batch = next(iter(TrainLoader(train, vocab, cfg).epoch(seed=0)))
+    assert batch.ques.shape == (4, R, 8)
+    assert batch.opt.shape == (4, R, K, 5)
+    assert batch.img.shape == (4, 32)
+    # right alignment: last column is nonzero wherever the row has tokens
+    lens = (batch.ques != 0).sum(-1)
+    assert ((batch.ques[..., -1] != 0) == (lens > 0)).all()
+
+
+def test_vgg16_shapes_and_conversion(tmp_path):
+    import jax
+
+    from visdial_tpu.models import vgg16
+
+    params = vgg16.init_params(jax.random.PRNGKey(0))
+    imgs = np.random.default_rng(0).integers(
+        0, 255, size=(2, 224, 224, 3)).astype(np.uint8)
+    feats = vgg16.apply(params, vgg16.preprocess(imgs))
+    assert feats["fc7"].shape == (2, 4096)
+    assert feats["pool5"].shape == (2, 7, 7, 512)
+
+    # npz round trip through the documented key layout
+    flat = {}
+    for name, p in params.items():
+        flat[f"{name}/w"] = np.asarray(p["w"])
+        flat[f"{name}/b"] = np.asarray(p["b"])
+    path = tmp_path / "vgg.npz"
+    np.savez(path, **flat)
+    params2 = vgg16.load_params(str(path))
+    feats2 = vgg16.apply(params2, vgg16.preprocess(imgs))
+    np.testing.assert_allclose(np.asarray(feats["fc7"]),
+                               np.asarray(feats2["fc7"]), atol=1e-6)

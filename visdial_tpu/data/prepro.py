@@ -1,0 +1,202 @@
+"""Offline dialog preprocessing — the `data/prepro.py` equivalent.
+
+Reads VisDial-format JSON (the released v0.9/v1.0 schema:
+``{"data": {"questions": [...], "answers": [...], "dialogs": [...]}}`` with
+per-dialog ``image_id``, ``caption`` and per-round ``question``/``answer``/
+``answer_options``/``gt_index`` indices into the shared string lists),
+tokenizes, builds the vocabulary from the train split (min count 5,
+reference: data/prepro.py word-count threshold), encodes and pads, keeps the
+deduplicated candidate-answer list + per-round option *indices* (the
+reference's memory trick), and writes the loader's artifacts:
+
+    visdial_data_train.npz / visdial_data_val.npz   (VisDialSplit arrays)
+    visdial_params.json                             (word2ind)
+
+Tokenization (SURVEY.md hard part #1 — behavior of record): lowercase,
+nltk ``word_tokenize`` when its punkt data is installed, else nltk's
+data-free ``TreebankWordTokenizer`` (identical output on single-sentence
+text, which VisDial questions/answers are).  The vocabulary is sorted
+lexicographically among kept words — deterministic across runs.
+
+Image features come from a sidecar ``.npz``/``.h5`` produced by
+``visdial_tpu.data.prepro_img`` (VGG-16 fc7, reference: data/prepro_img.lua)
+keyed by image order; ``--img_feats ''`` writes zero features so text-only
+encoders can train without images.
+
+Usage:
+    python -m visdial_tpu.data.prepro \
+        --train_json visdial_0.9_train.json --val_json visdial_0.9_val.json \
+        --img_feats_train feats_train.npz --img_feats_val feats_val.npz \
+        --out_dir data
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from .dataset import VisDialSplit, Vocabulary
+
+_TOKENIZE = None
+
+
+def tokenize(text: str) -> list[str]:
+    """Lowercased word tokens; nltk word_tokenize with a data-free
+    Treebank fallback (documented decision — see module docstring)."""
+    global _TOKENIZE
+    if _TOKENIZE is None:
+        try:
+            from nltk.tokenize import word_tokenize
+            word_tokenize("probe")  # raises LookupError without punkt data
+            _TOKENIZE = word_tokenize
+        except Exception:
+            from nltk.tokenize import TreebankWordTokenizer
+            _TOKENIZE = TreebankWordTokenizer().tokenize
+    return _TOKENIZE(str(text).lower())
+
+
+def load_visdial_json(path: str) -> dict:
+    with open(path) as f:
+        raw = json.load(f)
+    data = raw["data"] if "data" in raw else raw
+    return {
+        "questions": data["questions"],
+        "answers": data["answers"],
+        "dialogs": data["dialogs"],
+    }
+
+
+def _encode_rows(token_lists, vocab: Vocabulary, max_len: int):
+    arr = np.zeros((len(token_lists), max_len), np.int32)
+    lens = np.zeros(len(token_lists), np.int32)
+    for i, toks in enumerate(token_lists):
+        arr[i], lens[i] = vocab.encode(toks, max_len)
+    return arr, lens
+
+
+def build_split(data: dict, vocab: Vocabulary, cfg_caps: dict,
+                img_feat: np.ndarray | None, num_rounds: int = 10,
+                num_options: int = 100) -> VisDialSplit:
+    """Encode one split against a (frozen) vocabulary."""
+    Lq, La, Lc = cfg_caps["ques"], cfg_caps["ans"], cfg_caps["cap"]
+    dialogs = data["dialogs"]
+    q_tok = [tokenize(q) for q in data["questions"]]
+    a_tok = [tokenize(a) for a in data["answers"]]
+    q_enc, q_len = _encode_rows(q_tok, vocab, Lq)
+    a_enc, a_len = _encode_rows(a_tok, vocab, La)
+
+    N = len(dialogs)
+    ques = np.zeros((N, num_rounds, Lq), np.int32)
+    ques_len = np.zeros((N, num_rounds), np.int32)
+    ans = np.zeros((N, num_rounds, La), np.int32)
+    ans_len = np.zeros((N, num_rounds), np.int32)
+    cap = np.zeros((N, Lc), np.int32)
+    cap_len = np.zeros(N, np.int32)
+    opt_inds = np.zeros((N, num_rounds, num_options), np.int32)
+    gt_ind = np.zeros((N, num_rounds), np.int32)
+    img_ids = np.zeros(N, np.int64)
+
+    # The dedup'd option list IS the global answer list (the released JSON
+    # already shares answers by index — the reference's prepro dedups raw
+    # strings into the same structure).
+    opt_list, opt_list_len = a_enc, a_len
+
+    for i, d in enumerate(dialogs):
+        img_ids[i] = int(d.get("image_id", i))
+        cap[i], cap_len[i] = vocab.encode(tokenize(d.get("caption", "")), Lc)
+        rounds = d["dialog"][:num_rounds]
+        assert len(rounds) == num_rounds, (
+            f"dialog {i} has {len(rounds)} rounds; protocol expects "
+            f"{num_rounds} (reference: 10 rounds/dialog)")
+        for r, turn in enumerate(rounds):
+            qi, ai = int(turn["question"]), int(turn["answer"])
+            ques[i, r], ques_len[i, r] = q_enc[qi], q_len[qi]
+            ans[i, r], ans_len[i, r] = a_enc[ai], a_len[ai]
+            opts = [int(o) for o in turn["answer_options"][:num_options]]
+            assert len(opts) == num_options, (
+                f"dialog {i} round {r}: {len(opts)} options; protocol "
+                f"expects {num_options}")
+            opt_inds[i, r] = opts
+            gt = turn.get("gt_index")
+            if gt is None:  # some exports store the answer id, not the slot
+                gt = opts.index(ai)
+            gt_ind[i, r] = int(gt)
+            assert opts[gt_ind[i, r]] == ai, (
+                f"dialog {i} round {r}: gt_index does not point at the "
+                "ground-truth answer")
+
+    if img_feat is None:
+        img_feat = np.zeros((N, 1), np.float32)
+    assert img_feat.shape[0] == N, (
+        f"{img_feat.shape[0]} image features for {N} dialogs")
+
+    return VisDialSplit(
+        ques=ques, ques_len=ques_len, ans=ans, ans_len=ans_len,
+        cap=cap, cap_len=cap_len,
+        opt_list=opt_list, opt_list_len=opt_list_len,
+        opt_inds=opt_inds, gt_ind=gt_ind,
+        img_feat=img_feat.astype(np.float32), img_ids=img_ids,
+    ).validate()
+
+
+def load_img_feats(path: str, split: str) -> np.ndarray | None:
+    if not path:
+        return None
+    if path.endswith((".h5", ".hdf5")):
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            key = f"images_{split}" if f"images_{split}" in f else "features"
+            return np.asarray(f[key], np.float32)
+    with np.load(path) as z:
+        key = f"images_{split}" if f"images_{split}" in z.files else "features"
+        return np.asarray(z[key], np.float32)
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--train_json", required=True)
+    p.add_argument("--val_json", required=True)
+    p.add_argument("--img_feats_train", type=str, default="")
+    p.add_argument("--img_feats_val", type=str, default="")
+    p.add_argument("--out_dir", type=str, default="data")
+    p.add_argument("--min_count", type=int, default=5)
+    p.add_argument("--max_ques_len", type=int, default=16)
+    p.add_argument("--max_ans_len", type=int, default=8)
+    p.add_argument("--max_cap_len", type=int, default=40)
+    p.add_argument("--num_rounds", type=int, default=10)
+    p.add_argument("--num_options", type=int, default=100)
+    args = p.parse_args(argv)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    caps = {"ques": args.max_ques_len, "ans": args.max_ans_len,
+            "cap": args.max_cap_len}
+
+    train = load_visdial_json(args.train_json)
+    val = load_visdial_json(args.val_json)
+
+    # Vocabulary from the TRAIN split only (reference: prepro.py builds the
+    # vocab on train; val OOV becomes <UNK>).
+    corpus = ([tokenize(q) for q in train["questions"]]
+              + [tokenize(a) for a in train["answers"]]
+              + [tokenize(d.get("caption", "")) for d in train["dialogs"]])
+    vocab = Vocabulary.build(corpus, min_count=args.min_count)
+    vocab.save(os.path.join(args.out_dir, "visdial_params.json"))
+    print(f"vocab: {vocab.size} entries (min_count={args.min_count})")
+
+    for split, data, feats_path in (("train", train, args.img_feats_train),
+                                    ("val", val, args.img_feats_val)):
+        feats = load_img_feats(feats_path, split)
+        out = build_split(data, vocab, caps, feats,
+                          num_rounds=args.num_rounds,
+                          num_options=args.num_options)
+        path = os.path.join(args.out_dir, f"visdial_data_{split}.npz")
+        out.save(path)
+        print(f"{split}: {out.num_dialogs} dialogs -> {path}")
+
+
+if __name__ == "__main__":
+    main()
