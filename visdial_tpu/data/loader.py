@@ -162,14 +162,17 @@ class BatchAssembler:
 
     # -- history --------------------------------------------------------
     def _hist_concat(self, idx: np.ndarray) -> np.ndarray:
-        """Concatenated history per round: caption + QA_1..QA_{t-1}.
-
-        Built left-aligned then right-aligned to the full static width
-        (Config.max_hist_concat_len documents the no-truncation decision).
-        """
+        """Concatenated history per round: caption + QA_1..QA_{t-1},
+        right-aligned to the full static width (Config.max_hist_concat_len
+        documents the no-truncation decision).  C++ fast path when built;
+        the numpy body below is the behavioral reference."""
         d, cfg = self.data, self.cfg
         B, R = len(idx), cfg.num_rounds
         Lh = cfg.max_hist_concat_len
+        if _native is not None and _native.available():
+            return _native.hist_concat(
+                d.cap[idx], d.cap_len[idx], d.ques[idx], d.ques_len[idx],
+                d.ans[idx], d.ans_len[idx], Lh)
         out = np.zeros((B, R, Lh), np.int32)
         out_len = np.zeros((B, R), np.int32)
         cap, cap_len = d.cap[idx], d.cap_len[idx]
@@ -182,15 +185,20 @@ class BatchAssembler:
                 out_len[b, r] = len(buf)
                 buf.extend(ques[b, r, : ques_len[b, r]])
                 buf.extend(ans[b, r, : ans_len[b, r]])
-        return right_align_fast(out, out_len)
+        return right_align(out, out_len)
 
     def _facts(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Per-dialog facts: slot 0 = caption, slot j = QA_j (j=1..R-1).
 
-        Round t consumes slots 0..t (masked downstream).
+        Round t consumes slots 0..t (masked downstream).  C++ fast path when
+        built; the numpy body below is the behavioral reference.
         """
         d, cfg = self.data, self.cfg
         B, R, Lf = len(idx), cfg.num_rounds, cfg.max_fact_len
+        if _native is not None and _native.available():
+            return _native.facts(
+                d.cap[idx], d.cap_len[idx], d.ques[idx], d.ques_len[idx],
+                d.ans[idx], d.ans_len[idx], Lf)
         facts = np.zeros((B, R, Lf), np.int32)
         fact_len = np.zeros((B, R), np.int32)
         cap, cap_len = d.cap[idx], d.cap_len[idx]
@@ -205,7 +213,7 @@ class BatchAssembler:
                 )[:Lf]
                 facts[b, r + 1, : len(qa)] = qa
                 fact_len[b, r + 1] = len(qa)
-        return right_align_fast(facts, fact_len), fact_len
+        return right_align(facts, fact_len), fact_len
 
     # -- main entry ------------------------------------------------------
     def assemble(
@@ -242,7 +250,10 @@ class BatchAssembler:
             )
         if with_options:
             sel = d.opt_inds[idx]                      # (B, R, K)
-            batch.opt = d.opt_list[sel]                # (B, R, K, La)
+            if _native is not None and _native.available():
+                batch.opt = _native.gather_options(d.opt_list, sel)
+            else:
+                batch.opt = d.opt_list[sel]            # (B, R, K, La)
             batch.opt_len = d.opt_list_len[sel]
             if with_gen_options:
                 batch.opt_in, batch.opt_out = _with_start_end(
