@@ -43,6 +43,7 @@ def flagship_config(batch_size: int = 32):
         vocab_size=8848,
         batch_size=batch_size,
         dropout=0.5,
+        compute_dtype="bfloat16",   # the production TPU configuration
     )
 
 

@@ -28,8 +28,14 @@ def linear_init(rng, in_dim: int, out_dim: int) -> dict:
     return {"w": uniform(wk, (in_dim, out_dim)), "b": jnp.zeros((out_dim,))}
 
 
-def linear(params: dict, x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.dot(x, params["w"], preferred_element_type=jnp.float32) + params["b"]
+def linear(params: dict, x: jnp.ndarray, out_dtype=None) -> jnp.ndarray:
+    """Mixed-precision linear: weights cast to the activation dtype (bf16 on
+    the fast path), f32 MXU accumulation, output in `out_dtype` (defaults to
+    the activation dtype; pass jnp.float32 for logit/score heads that feed
+    softmax)."""
+    y = jnp.dot(x, params["w"].astype(x.dtype),
+                preferred_element_type=jnp.float32) + params["b"]
+    return y.astype(out_dtype or x.dtype)
 
 
 def embedding_init(rng, vocab_size: int, embed_size: int) -> dict:

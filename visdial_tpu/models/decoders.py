@@ -55,15 +55,17 @@ def _joint_to_state(joint: jnp.ndarray, num_layers: int):
 
 def gen_logits(params, embed_params, joint, tokens_in, cfg: Config,
                *, train=False, rng=None, impl="xla"):
-    """Teacher-forced logits.  tokens_in (N, T) left-aligned; returns (N,T,V)."""
-    vecs = embed(embed_params, tokens_in)
+    """Teacher-forced logits.  tokens_in (N, T) left-aligned; returns
+    (N, T, V) in float32 (softmax stability), matmuls in the compute
+    dtype."""
+    vecs = embed(embed_params, tokens_in).astype(jnp.dtype(cfg.compute_dtype))
     mask = (tokens_in != 0).astype(vecs.dtype)
-    h0, c0 = _joint_to_state(joint, cfg.num_layers)
+    h0, c0 = _joint_to_state(joint.astype(vecs.dtype), cfg.num_layers)
     outs, _ = masked_lstm(
         params["lm_lstm"], vecs, mask, h0, c0,
         impl=impl, dropout_rng=rng, dropout_rate=cfg.dropout if train else 0.0,
     )
-    return linear(params["out_proj"], outs)
+    return linear(params["out_proj"], outs, out_dtype=jnp.float32)
 
 
 def masked_nll(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
@@ -153,7 +155,7 @@ def disc_option_embeddings(params, embed_params, opt_tokens, cfg: Config,
     """(N, K, T) candidate tokens -> (N, K, H) final LSTM states."""
     N, K, T = opt_tokens.shape
     flat = opt_tokens.reshape(N * K, T)
-    vecs = embed(embed_params, flat)
+    vecs = embed(embed_params, flat).astype(jnp.dtype(cfg.compute_dtype))
     mask = (flat != 0).astype(vecs.dtype)
     _, (h_fin, _) = masked_lstm(
         params["opt_lstm"], vecs, mask,
@@ -167,7 +169,7 @@ def disc_scores(params, embed_params, joint, opt_tokens, cfg: Config,
     """score_k = dot(option_k, joint) — one batched matmul."""
     opt_emb = disc_option_embeddings(params, embed_params, opt_tokens, cfg,
                                      train=train, rng=rng, impl=impl)
-    return jnp.einsum("nh,nkh->nk", joint, opt_emb,
+    return jnp.einsum("nh,nkh->nk", joint.astype(opt_emb.dtype), opt_emb,
                       preferred_element_type=jnp.float32)
 
 

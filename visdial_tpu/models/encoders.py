@@ -44,12 +44,16 @@ def _flatten_rounds(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape((-1,) + x.shape[2:])
 
 
+def _dt(cfg: Config):
+    return jnp.dtype(cfg.compute_dtype)
+
+
 def _run_lstm(lstm_params, embed_params, tokens, cfg: Config, train, rng, impl):
     """Embed tokens and run the masked LSTM; return final top-layer h.
 
-    tokens: (N, L) right-aligned. Returns (N, H).
+    tokens: (N, L) right-aligned. Returns (N, H) in the compute dtype.
     """
-    vecs = embed(embed_params, tokens)
+    vecs = embed(embed_params, tokens).astype(_dt(cfg))
     mask = (tokens != 0).astype(vecs.dtype)
     _, (h_fin, _) = masked_lstm(
         lstm_params, vecs, mask,
@@ -126,7 +130,8 @@ def encoder_apply(
                           next(rngs), impl)
             parts.append(h)
         if use_img:
-            img = linear(params["img_proj"], batch["img"])          # (B, H)
+            img = linear(params["img_proj"],
+                         batch["img"].astype(_dt(cfg)))             # (B, H)
             img = jnp.repeat(img, R, axis=0)                         # (N, H)
             parts.append(img)
         cat = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
@@ -142,7 +147,8 @@ def encoder_apply(
 
     # Query: question (+ image fused in)
     if use_img:
-        img = linear(params["img_proj"], batch["img"])               # (B, H)
+        img = linear(params["img_proj"],
+                     batch["img"].astype(_dt(cfg)))                  # (B, H)
         img = jnp.repeat(img, R, axis=0)                              # (N, H)
         query = jnp.tanh(linear(params["query_fusion"],
                                 jnp.concatenate([q, img], axis=-1)))

@@ -37,5 +37,5 @@ def masked_slot_attention(
                         preferred_element_type=jnp.float32)
     scores = jnp.where(valid > 0, scores, NEG_INF)
     att = jax.nn.softmax(scores, axis=-1)
-    return jnp.einsum("brs,bsh->brh", att, slots,
-                      preferred_element_type=jnp.float32)
+    return jnp.einsum("brs,bsh->brh", att.astype(slots.dtype), slots,
+                      preferred_element_type=jnp.float32).astype(query.dtype)

@@ -28,7 +28,8 @@ def _attention_kernel(q_ref, s_ref, valid_ref, out_ref):
     scores = jax.lax.dot_general(
         q, s, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)                 # (TB, R, S)
-    scores = jnp.where(valid_ref[:] > 0, scores, NEG_INF)
+    # f32 compare: Mosaic has no bf16 vector comparison on this target
+    scores = jnp.where(valid_ref[:].astype(jnp.float32) > 0, scores, NEG_INF)
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores)
     att = e / jnp.sum(e, axis=-1, keepdims=True)
