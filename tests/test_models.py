@@ -163,3 +163,35 @@ def test_gen_decode_shapes_and_determinism(tiny_data):
                               end_token=vocab.end, greedy=False,
                               rng=jax.random.PRNGKey(1), temperature=0.9)
     assert toks3.shape == toks1.shape
+
+
+def test_beam_search_decode(tiny_data):
+    """Beam search (generate.lua -beamSize equivalent): the best beam's
+    log-prob must be >= the greedy sequence's, and outputs keep
+    pad-after-end semantics."""
+    import jax
+    import numpy as np
+
+    from visdial_tpu.data.loader import EvalLoader
+    from visdial_tpu.models.model import model_generate, model_init
+
+    split, vocab, cfg = tiny_data
+    cfg = cfg.replace(encoder="lf-ques-im-hist", decoder="gen")
+    params = model_init(jax.random.PRNGKey(0), cfg)
+    batch = next(iter(EvalLoader(split, vocab, cfg, batch_size=4))).as_dict()
+
+    toks_g, logp_g = model_generate(params, batch, cfg,
+                                    start_token=vocab.start,
+                                    end_token=vocab.end, greedy=True)
+    toks_b, logp_b = model_generate(params, batch, cfg,
+                                    start_token=vocab.start,
+                                    end_token=vocab.end, beam_size=4)
+    assert toks_b.shape == toks_g.shape
+    # a width-4 beam can only improve on greedy (greedy is a beam of 1)
+    assert np.all(np.asarray(logp_b) >= np.asarray(logp_g) - 1e-4), (
+        np.asarray(logp_b) - np.asarray(logp_g))
+    t = np.asarray(toks_b).reshape(-1, cfg.max_ans_len)
+    for row in t:
+        if (row == 0).any():
+            first0 = int(np.argmax(row == 0))
+            assert (row[first0:] == 0).all()

@@ -43,6 +43,8 @@ def main(argv=None) -> list:
     p.add_argument("--sample", action="store_true",
                    help="temperature sampling instead of greedy")
     p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--beam_size", type=int, default=0,
+                   help=">1 enables beam search (overrides --sample)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out_path", type=str, default="generated.json")
     args = p.parse_args(argv)
@@ -68,7 +70,8 @@ def main(argv=None) -> list:
     gen_fn = jax.jit(
         lambda params, batch, rng: model_generate(
             params, batch, cfg, start_token=vocab.start, end_token=vocab.end,
-            greedy=not args.sample, rng=rng, temperature=args.temperature))
+            greedy=not args.sample, rng=rng, temperature=args.temperature,
+            beam_size=args.beam_size))
 
     loader = EvalLoader(data, vocab, cfg, batch_size=bs)
     rng = jax.random.PRNGKey(args.seed)

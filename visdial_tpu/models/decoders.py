@@ -146,6 +146,72 @@ def gen_decode(params, embed_params, joint, cfg: Config, *,
     return jnp.swapaxes(toks, 0, 1), logp
 
 
+def gen_beam_decode(params, embed_params, joint, cfg: Config, *,
+                    start_token: int, end_token: int, beam_size: int = 5,
+                    max_len: int | None = None):
+    """Batched beam-search decoding (reference: generate.lua -beamSize
+    option; SURVEY.md marks the exact reference behavior [U] — documented
+    behavior of record: length-unnormalized log-prob, ended beams frozen).
+
+    joint (N, H).  Returns (tokens (N, max_len) of the best beam, its
+    summed log-prob (N,)).  Beams fold into the batch axis (N*W rows per
+    LSTM step), whole search under one lax.scan.
+    """
+    N, H = joint.shape
+    W = beam_size
+    V = params["out_proj"]["w"].shape[1]
+    max_len = max_len or cfg.max_ans_len
+    L = cfg.num_layers
+
+    h0, c0 = _joint_to_state(joint, L)                    # (L, N, H)
+    h0 = jnp.repeat(h0, W, axis=1)                        # (L, N*W, H)
+    c0 = jnp.repeat(c0, W, axis=1)
+    NEG = -1e30
+
+    def step(carry, _):
+        tok, h, c, done, beam_lp, seqs, t = carry
+        # tok (N, W); h/c (L, N*W, H); done (N, W); beam_lp (N, W);
+        # seqs (N, W, max_len)
+        x_t = embed(embed_params, tok.reshape(N * W, 1))[:, 0]
+        top, h, c = lstm_step(params["lm_lstm"], x_t, h, c)
+        logp = jax.nn.log_softmax(
+            linear(params["out_proj"], top, out_dtype=jnp.float32), axis=-1)
+        logp = logp.reshape(N, W, V)
+        # ended beams may only "emit" pad at zero cost; live beams expand
+        frozen = jnp.full((N, W, V), NEG).at[:, :, 0].set(0.0)
+        logp = jnp.where(done[..., None], frozen, logp)
+        # step 0: all beams are identical — keep only beam 0's expansions
+        first = jnp.arange(W)[None, :, None] > 0
+        logp = jnp.where((t == 0) & first, NEG, logp)
+        cand = beam_lp[..., None] + logp                  # (N, W, V)
+        flat = cand.reshape(N, W * V)
+        new_lp, flat_idx = jax.lax.top_k(flat, W)         # (N, W)
+        src_beam = flat_idx // V                          # (N, W)
+        new_tok = (flat_idx % V).astype(jnp.int32)
+
+        # gather parent state/seq/done for each surviving beam
+        gidx = (jnp.arange(N)[:, None] * W + src_beam).reshape(-1)
+        h = h[:, gidx]
+        c = c[:, gidx]
+        seqs = jnp.take_along_axis(seqs, src_beam[..., None], axis=1)
+        done = jnp.take_along_axis(done, src_beam, axis=1)
+        emit = jnp.where(done | (new_tok == end_token), 0, new_tok)
+        seqs = jax.lax.dynamic_update_slice_in_dim(
+            seqs, emit[..., None], t, axis=2)
+        done = done | (new_tok == end_token)
+        feed = jnp.where(emit == 0, end_token, emit)
+        return (feed, h, c, done, new_lp, seqs, t + 1), None
+
+    init = (jnp.full((N, W), start_token, jnp.int32), h0, c0,
+            jnp.zeros((N, W), bool), jnp.zeros((N, W), jnp.float32),
+            jnp.zeros((N, W, max_len), jnp.int32), jnp.zeros((), jnp.int32))
+    (_, _, _, _, beam_lp, seqs, _), _ = jax.lax.scan(
+        step, init, None, length=max_len)
+    best = jnp.argmax(beam_lp, axis=1)                    # (N,)
+    tokens = jnp.take_along_axis(seqs, best[:, None, None], axis=1)[:, 0]
+    return tokens, jnp.take_along_axis(beam_lp, best[:, None], axis=1)[:, 0]
+
+
 # ---------------------------------------------------------------------------
 # disc
 # ---------------------------------------------------------------------------

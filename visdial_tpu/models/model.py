@@ -20,6 +20,7 @@ from .decoders import (
     decoder_init,
     disc_loss,
     disc_scores,
+    gen_beam_decode,
     gen_candidate_scores,
     gen_decode,
     gen_loss,
@@ -77,18 +78,26 @@ def model_scores(params, batch, cfg: Config, *, impl: str | None = None):
 
 def model_generate(params, batch, cfg: Config, *, start_token: int,
                    end_token: int, greedy: bool = True, rng=None,
-                   temperature: float = 1.0, impl: str | None = None):
+                   temperature: float = 1.0, beam_size: int = 0,
+                   impl: str | None = None):
     """Decode answers for every (dialog, round): returns tokens (B, R, La)
     and summed log-probs (B, R).  Gen decoder only (reference: generate.lua
-    loads gen checkpoints)."""
+    loads gen checkpoints).  beam_size > 1 switches to beam search
+    (reference -beamSize); otherwise greedy/sampling per `greedy`."""
     assert cfg.decoder == "gen", "generation requires the gen decoder"
     impl = impl or _impl(cfg)
     joint = encoder_apply(params["encoder"], params["embed"], batch, cfg,
                           train=False, rng=None, impl=impl)
-    toks, logp = gen_decode(
-        params["decoder"], params["embed"], joint, cfg,
-        start_token=start_token, end_token=end_token,
-        greedy=greedy, rng=rng, temperature=temperature)
+    if beam_size and beam_size > 1:
+        toks, logp = gen_beam_decode(
+            params["decoder"], params["embed"], joint, cfg,
+            start_token=start_token, end_token=end_token,
+            beam_size=beam_size)
+    else:
+        toks, logp = gen_decode(
+            params["decoder"], params["embed"], joint, cfg,
+            start_token=start_token, end_token=end_token,
+            greedy=greedy, rng=rng, temperature=temperature)
     B = batch["ques"].shape[0]
     return (toks.reshape(B, cfg.num_rounds, -1),
             logp.reshape(B, cfg.num_rounds))
