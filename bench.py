@@ -104,6 +104,23 @@ def bench_jax(steps: int = 16, warmup: int = 3) -> dict:
     evals_per_sec = eval_steps * cfg.batch_size * cfg.num_rounds / dt_e
     log(f"[jax] eval: {evals_per_sec:.1f} 100-cand evals/s")
 
+    # Gen-decoder eval: teacher-forced LM scoring of all 100 candidates —
+    # the reference's dominant eval cost (SURVEY.md §3.2).
+    from visdial_tpu.parallel.train_step import init_train_state as _init
+
+    gcfg = cfg.replace(decoder="gen")
+    gstate = shard_train_state(_init(gcfg), gcfg, mesh)
+    gev = make_eval_fn(gcfg, mesh)
+    gbatch = shard_batch(random_batch(gcfg, seed=0), mesh)
+    scores = gev(gstate.params, gbatch)
+    float(np.asarray(scores[0, 0, 0]))
+    t0 = time.time()
+    for _ in range(4):
+        scores = gev(gstate.params, gbatch)
+    float(np.asarray(scores[0, 0, 0]))
+    gen_eps = 4 * cfg.batch_size * cfg.num_rounds / (time.time() - t0)
+    log(f"[jax] gen eval: {gen_eps:.1f} 100-cand LM evals/s")
+
     return {
         "backend": jax.default_backend(),
         "n_chips": n_chips,
@@ -111,6 +128,7 @@ def bench_jax(steps: int = 16, warmup: int = 3) -> dict:
         "train_rounds_per_sec_per_chip": train_rps / n_chips,
         "eval_100cand_per_sec": evals_per_sec,
         "eval_100cand_per_sec_per_chip": evals_per_sec / n_chips,
+        "gen_eval_100cand_per_sec_per_chip": gen_eps / n_chips,
     }
 
 

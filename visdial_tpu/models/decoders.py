@@ -87,23 +87,51 @@ def gen_loss(params, embed_params, joint, batch, cfg: Config,
     return masked_nll(logits, tokens_out)
 
 
+SCORE_CHUNK_ROWS = 8192  # candidate rows scored per lax.map step
+
+
 def gen_candidate_scores(params, embed_params, joint, opt_in, opt_out,
                          cfg: Config, *, impl="xla"):
     """Sum of token log-probs per candidate (reference: evaluate.lua gen
     branch — the dominant eval cost).
 
     joint (N, H); opt_in/opt_out (N, K, T).  Returns (N, K) scores.
-    Candidates fold into the batch: (N*K, T) through one LSTM pass.
+    Candidates fold into the batch: (N*K, T) through one LSTM pass.  The
+    vocab projection + log-softmax is then chunked over rows with lax.map —
+    materializing all (N*K, T, V) logits would be ~10GB at flagship shapes
+    (32k rows x 9 steps x 8848 vocab f32), past HBM; per-chunk scoring
+    keeps the transient bounded while each chunk matmul stays MXU-sized.
     """
     N, K, T = opt_in.shape
     joint_k = jnp.repeat(joint, K, axis=0)                    # (N*K, H)
-    logits = gen_logits(params, embed_params, joint_k,
-                        opt_in.reshape(N * K, T), cfg, impl=impl)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    tgt = opt_out.reshape(N * K, T)
-    tok_lp = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-    mask = (tgt != 0).astype(logits.dtype)
-    return jnp.sum(tok_lp * mask, axis=-1).reshape(N, K)
+    tokens_in = opt_in.reshape(N * K, T)
+    vecs = embed(embed_params, tokens_in).astype(jnp.dtype(cfg.compute_dtype))
+    mask = (tokens_in != 0).astype(vecs.dtype)
+    h0, c0 = _joint_to_state(joint_k.astype(vecs.dtype), cfg.num_layers)
+    outs, _ = masked_lstm(params["lm_lstm"], vecs, mask, h0, c0, impl=impl)
+
+    rows = N * K
+    C = min(SCORE_CHUNK_ROWS, rows)
+    pad = -rows % C
+    tgt = opt_out.reshape(rows, T)
+    if pad:
+        outs = jnp.pad(outs, ((0, pad), (0, 0), (0, 0)))
+        tgt = jnp.pad(tgt, ((0, pad), (0, 0)))
+
+    def score_chunk(args):
+        outs_c, tgt_c = args                                  # (C,T,H), (C,T)
+        logits = linear(params["out_proj"], outs_c, out_dtype=jnp.float32)
+        lse = jax.nn.logsumexp(logits, axis=-1)               # (C, T)
+        tgt_logit = jnp.take_along_axis(
+            logits, tgt_c[..., None], axis=-1)[..., 0]
+        lp = tgt_logit - lse
+        return jnp.sum(lp * (tgt_c != 0), axis=-1)            # (C,)
+
+    n_chunks = (rows + pad) // C
+    scores = jax.lax.map(
+        score_chunk,
+        (outs.reshape(n_chunks, C, T, -1), tgt.reshape(n_chunks, C, T)))
+    return scores.reshape(-1)[:rows].reshape(N, K)
 
 
 def gen_decode(params, embed_params, joint, cfg: Config, *,

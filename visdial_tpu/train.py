@@ -50,6 +50,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--run_name", type=str, default="")
     p.add_argument("--profile_steps", type=str, default="",
                    help="'start,stop' step range to capture an xprof trace")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans: abort with a traceback the "
+                        "step any NaN/Inf appears (the sanitizer story for "
+                        "a functional stack — SURVEY.md §5)")
     return p
 
 
@@ -61,6 +65,8 @@ def config_from_args(args) -> Config:
 def main(argv=None) -> dict:
     apply_platform_env()
     args = build_argparser().parse_args(argv)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     cfg = config_from_args(args)
 
     if args.synthetic:
