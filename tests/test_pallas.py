@@ -104,3 +104,28 @@ def test_model_scores_pallas_twin(tiny_data):
     s_x = model_scores(params, batch, cfg, impl="xla")
     s_p = model_scores(params, batch, cfg, impl="pallas")
     np.testing.assert_allclose(np.asarray(s_x), np.asarray(s_p), atol=2e-4)
+
+
+def test_fused_backward_kernel_matches_autodiff(lstm_setup):
+    """The fused Pallas backward (dgp kernel + XLA dW matmuls) must match
+    XLA autodiff of the reference recurrence, including masked rows and
+    non-zero initial states."""
+    import visdial_tpu.ops.lstm_pallas as lp
+
+    params, x, mask = lstm_setup
+    h0 = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 24))
+    c0 = jax.random.normal(jax.random.PRNGKey(3), (2, 6, 24))
+
+    def loss(p, impl):
+        o, (h, c) = masked_lstm(p, x, mask, h0, c0, impl=impl)
+        return jnp.sum(o ** 2) + jnp.sum(h ** 2) + jnp.sum(c ** 2)
+
+    g_ref = jax.grad(lambda p: loss(p, "xla"))(params)
+    old = lp.FORCE_BWD_KERNEL
+    lp.FORCE_BWD_KERNEL = True
+    try:
+        g_ker = jax.grad(lambda p: loss(p, "pallas"))(params)
+    finally:
+        lp.FORCE_BWD_KERNEL = old
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_ker)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -57,9 +57,7 @@ def _pick_tile(T: int, E_pad: int, H: int, itemsize: int) -> int:
 
 
 def _lstm_layer_kernel(x_ref, mask_ref, wx_hbm, wh_hbm, b_hbm,
-                       h0_ref, c0_ref, hs_ref, ht_ref, ct_ref,
-                       wx_ref, wh_ref, b_ref, h_scr, c_scr, dma_sems,
-                       *, T: int):
+                       h0_ref, c0_ref, *refs, T: int, save_cell: bool):
     """One LSTM step for one batch tile: grid = (batch tiles, time).
 
     Time is the *grid's* minor dimension — the canonical Mosaic recurrence
@@ -73,7 +71,17 @@ def _lstm_layer_kernel(x_ref, mask_ref, wx_hbm, wh_hbm, b_hbm,
     wasting 2x the weight footprint).  The mask column for step t is
     extracted with a one-hot matmul rather than a dynamic lane slice
     (lane-alignment constraint).
+
+    With save_cell the per-step (post-mask) cell state streams out too —
+    the training path saves it so the backward kernel never has to rebuild
+    the cell recurrence.
     """
+    if save_cell:
+        (hs_ref, cs_ref, ht_ref, ct_ref,
+         wx_ref, wh_ref, b_ref, h_scr, c_scr, dma_sems) = refs
+    else:
+        (hs_ref, ht_ref, ct_ref,
+         wx_ref, wh_ref, b_ref, h_scr, c_scr, dma_sems) = refs
     t = pl.program_id(1)
     TB = x_ref.shape[1]
     H = wh_ref.shape[0]
@@ -116,6 +124,8 @@ def _lstm_layer_kernel(x_ref, mask_ref, wx_hbm, wh_hbm, b_hbm,
     h_scr[:] = h
     c_scr[:] = c
     hs_ref[0] = h.astype(hs_ref.dtype)
+    if save_cell:
+        cs_ref[0] = c.astype(cs_ref.dtype)
 
     @pl.when(t == T - 1)
     def _final():
@@ -123,11 +133,14 @@ def _lstm_layer_kernel(x_ref, mask_ref, wx_hbm, wh_hbm, b_hbm,
         ct_ref[:] = c
 
 
-def lstm_layer_pallas(w, b, x, mask, h0, c0, *, interpret: bool | None = None):
+def lstm_layer_pallas(w, b, x, mask, h0, c0, *, interpret: bool | None = None,
+                      save_cell: bool = False):
     """One masked LSTM layer.  w (E+H, 4H) packed [x; h] like ops/lstm.py.
 
     x (N, T, E) in compute dtype; mask (N, T); h0/c0 (N, H) f32.
-    Returns hs (N, T, H) in x.dtype and (hT, cT) f32.
+    Returns hs (N, T, H) in x.dtype and (hT, cT) f32; with save_cell also
+    cs (N, T, H) in x.dtype (per-step post-mask cell states, consumed by
+    the fused backward).
     """
     if interpret is None:  # run compiled on TPU, interpreted elsewhere
         interpret = jax.default_backend() != "tpu"
@@ -157,8 +170,14 @@ def lstm_layer_pallas(w, b, x, mask, h0, c0, *, interpret: bool | None = None):
     step_blk = lambda i, t: (t, i, 0)
     row_blk = lambda i, t: (i, 0)
 
-    hs, ht, ct = pl.pallas_call(
-        functools.partial(_lstm_layer_kernel, T=T),
+    step_out = [pl.BlockSpec((1, TB, H), step_blk, memory_space=pltpu.VMEM)]
+    step_shape = [jax.ShapeDtypeStruct((T, N_pad, H), dtype)]
+    if save_cell:
+        step_out *= 2
+        step_shape *= 2
+
+    outs = pl.pallas_call(
+        functools.partial(_lstm_layer_kernel, T=T, save_cell=save_cell),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, TB, E_pad), step_blk, memory_space=pltpu.VMEM),
@@ -169,13 +188,11 @@ def lstm_layer_pallas(w, b, x, mask, h0, c0, *, interpret: bool | None = None):
             pl.BlockSpec((TB, H), row_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, H), row_blk, memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, TB, H), step_blk, memory_space=pltpu.VMEM),
+        out_specs=step_out + [
             pl.BlockSpec((TB, H), row_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, H), row_blk, memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, N_pad, H), dtype),
+        out_shape=step_shape + [
             jax.ShapeDtypeStruct((N_pad, H), jnp.float32),
             jax.ShapeDtypeStruct((N_pad, H), jnp.float32),
         ],
@@ -200,7 +217,185 @@ def lstm_layer_pallas(w, b, x, mask, h0, c0, *, interpret: bool | None = None):
         ),
         interpret=interpret,
     )(x_tm, mask.astype(dtype), wx, wh, b2, h0, c0)
+    if save_cell:
+        hs, cs, ht, ct = outs
+        return (jnp.swapaxes(hs, 0, 1)[:N], jnp.swapaxes(cs, 0, 1)[:N],
+                ht[:N], ct[:N])
+    hs, ht, ct = outs
     return jnp.swapaxes(hs, 0, 1)[:N], ht[:N], ct[:N]
+
+
+def _lstm_bwd_kernel(x_ref, hprev_ref, cprev_ref, mask_ref,
+                     wx_hbm, wh_hbm, b_hbm, ghs_ref, ght_ref, gct_ref,
+                     dgp_ref, dh0_ref, dc0_ref,
+                     wx_ref, wh_ref, b_ref, dh_scr, dc_scr, dma_sems,
+                     *, T: int):
+    """Fused LSTM backward: one grid step per (batch tile, REVERSED time).
+
+    Recomputes the gate activations from the streamed x_t / h_{t-1} blocks
+    (2 matmuls — same as forward), applies the gate/cell chain rule in
+    registers, and carries (dh, dc) in VMEM scratch; only dgates @ Wh^T is
+    sequential.  Emits the gate-pre-activation grads dgp (streamed out in
+    the compute dtype); the dW/dx contractions over the flattened (N*T)
+    axis happen outside in XLA where they are single large MXU matmuls.
+    This keeps every (T, N, ·) f32 intermediate of the pure-XLA backward
+    (gate activations, rebuilt cell states, scan temporaries) out of HBM.
+    """
+    t_rev = pl.program_id(1)
+    t = (T - 1) - t_rev
+    TB = x_ref.shape[1]
+    H = wh_ref.shape[0]
+    f32 = jnp.float32
+
+    @pl.when((pl.program_id(0) == 0) & (t_rev == 0))
+    def _load_weights():
+        copies = [pltpu.make_async_copy(src, dst, dma_sems.at[i])
+                  for i, (src, dst) in enumerate(
+                      ((wx_hbm, wx_ref), (wh_hbm, wh_ref), (b_hbm, b_ref)))]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+    @pl.when(t_rev == 0)
+    def _init_carries():
+        dh_scr[:] = ght_ref[:]
+        dc_scr[:] = gct_ref[:]
+
+    x_t = x_ref[0]                                          # (TB, Ep) cdt
+    h_prev = hprev_ref[0]                                   # (TB, H) cdt
+    c_prev = cprev_ref[0].astype(f32)                       # (TB, H)
+    gates = (
+        jnp.dot(x_t, wx_ref[:], preferred_element_type=f32)
+        + jnp.dot(h_prev, wh_ref[:], preferred_element_type=f32)
+        + b_ref[:].astype(f32)
+    )
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H:2 * H])
+    g = jnp.tanh(gates[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H:])
+    cn = f * c_prev + i * g
+    tcn = jnp.tanh(cn)
+
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+    onehot = (t_ids == t).astype(f32)
+    m = jnp.dot(mask_ref[:].astype(f32), onehot,
+                preferred_element_type=f32)                 # (TB, 1)
+
+    Dh = ghs_ref[0].astype(f32) + dh_scr[:]
+    Dc = dc_scr[:]
+    dhn = m * Dh
+    dcn = m * Dc + dhn * o * (1.0 - tcn * tcn)
+    dc_prev = (1.0 - m) * Dc + dcn * f
+    dgp = jnp.concatenate([
+        (dcn * g) * i * (1.0 - i),
+        (dcn * c_prev) * f * (1.0 - f),
+        (dcn * i) * (1.0 - g * g),
+        (dhn * tcn) * o * (1.0 - o),
+    ], axis=-1)                                             # (TB, 4H) f32
+    dgp_c = dgp.astype(dgp_ref.dtype)
+    # dh_{t-1} = passthrough + dgates @ Wh^T (contract the 4H axis)
+    dh_prev = ((1.0 - m) * Dh
+               + jax.lax.dot_general(
+                   dgp_c, wh_ref[:], (((1,), (1,)), ((), ())),
+                   preferred_element_type=f32))
+    dh_scr[:] = dh_prev
+    dc_scr[:] = dc_prev
+    dgp_ref[0] = dgp_c
+
+    @pl.when(t_rev == T - 1)
+    def _final():
+        dh0_ref[:] = dh_prev
+        dc0_ref[:] = dc_prev
+
+
+def lstm_layer_bwd_pallas(w, b, x, mask, h_prev_all, c_prev_all,
+                          g_hs, g_ht, g_ct, *,
+                          interpret: bool | None = None):
+    """Run the fused backward kernel; returns (dgp (N,T,4H) in x.dtype,
+    dh0 (N,H) f32, dc0 (N,H) f32).
+
+    h_prev_all / c_prev_all are the (N, T, H) PRE-step states (slot t holds
+    the state that fed step t, i.e. [init, state_0, ..., state_{T-2}]).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N, T, E = x.shape
+    H = w.shape[1] // 4
+    dtype = x.dtype
+    E_pad = _round_up(E, LANE)
+
+    wx = w[:E].astype(dtype)
+    if E_pad != E:
+        wx = jnp.pad(wx, ((0, E_pad - E), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, E_pad - E)))
+    wh = w[E:].astype(dtype)
+    b2 = b.reshape(1, -1).astype(jnp.float32)
+
+    TB = _pick_tile(T, E_pad, H, jnp.dtype(dtype).itemsize)
+    N_pad = _round_up(N, TB)
+    if N_pad != N:
+        pad2 = ((0, N_pad - N), (0, 0))
+        pad3 = pad2 + ((0, 0),)
+        x = jnp.pad(x, pad3)
+        mask = jnp.pad(mask, pad2)
+        h_prev_all = jnp.pad(h_prev_all, pad3)
+        c_prev_all = jnp.pad(c_prev_all, pad3)
+        g_hs = jnp.pad(g_hs, pad3)
+        g_ht = jnp.pad(g_ht, pad2)
+        g_ct = jnp.pad(g_ct, pad2)
+
+    tm = lambda a: jnp.swapaxes(a, 0, 1)
+    grid = (N_pad // TB, T)
+    rev_blk = lambda i, t: ((T - 1) - t, i, 0)
+    row_blk = lambda i, t: (i, 0)
+
+    dgp, dh0, dc0 = pl.pallas_call(
+        functools.partial(_lstm_bwd_kernel, T=T),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TB, E_pad), rev_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, H), rev_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, H), rev_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, T), row_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # wx
+            pl.BlockSpec(memory_space=pltpu.ANY),   # wh
+            pl.BlockSpec(memory_space=pltpu.ANY),   # b
+            pl.BlockSpec((1, TB, H), rev_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, H), row_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, H), row_blk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TB, 4 * H), rev_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, H), row_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, H), row_blk, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, N_pad, 4 * H), dtype),
+            jax.ShapeDtypeStruct((N_pad, H), jnp.float32),
+            jax.ShapeDtypeStruct((N_pad, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((E_pad, 4 * H), dtype),
+            pltpu.VMEM((H, 4 * H), dtype),
+            pltpu.VMEM((1, 4 * H), jnp.float32),
+            pltpu.VMEM((TB, H), jnp.float32),
+            pltpu.VMEM((TB, H), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * N_pad * T * (E_pad + H) * 4 * H,
+            bytes_accessed=(N_pad * T * (E_pad + 3 * H + 4 * H)) * 2,
+            transcendentals=N_pad * T * 4 * H,
+        ),
+        interpret=interpret,
+    )(tm(x), tm(h_prev_all), tm(c_prev_all), mask.astype(dtype),
+      wx, wh, b2, tm(g_hs), g_ht.astype(jnp.float32),
+      g_ct.astype(jnp.float32))
+    return jnp.swapaxes(dgp, 0, 1)[:N], dh0[:N], dc0[:N]
 
 
 def _layer_xla(w, b, x, mask, h0, c0):
@@ -235,18 +430,64 @@ def _layer_xla(w, b, x, mask, h0, c0):
     return jnp.swapaxes(hs, 0, 1), ht, ct
 
 
+# Tests flip this to exercise the fused backward kernel in interpreter
+# mode; in production it engages for bf16 compute on TPU.
+FORCE_BWD_KERNEL = False
+
+
+def _use_bwd_kernel(dtype) -> bool:
+    if FORCE_BWD_KERNEL:
+        return True
+    return dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
+
+
 @jax.custom_vjp
 def _layer(w, b, x, mask, h0, c0):
     return lstm_layer_pallas(w, b, x, mask, h0, c0)
 
 
 def _layer_fwd(w, b, x, mask, h0, c0):
-    out = lstm_layer_pallas(w, b, x, mask, h0, c0)
-    hs = out[0]
-    return out, (w, b, x, mask, h0, c0, hs)
+    if _use_bwd_kernel(x.dtype):
+        hs, cs, ht, ct = lstm_layer_pallas(w, b, x, mask, h0, c0,
+                                           save_cell=True)
+    else:
+        hs, ht, ct = lstm_layer_pallas(w, b, x, mask, h0, c0)
+        cs = None
+    return (hs, ht, ct), (w, b, x, mask, h0, c0, hs, cs)
+
+
+def _layer_bwd_kernel_path(residuals, g):
+    """dgp via the fused Pallas kernel; dW/dx as three XLA matmuls."""
+    w, b, x, mask, h0, c0, hs, cs = residuals
+    g_hs, g_ht, g_ct = g
+    N, T, E = x.shape
+    H = w.shape[1] // 4
+    f32 = jnp.float32
+    cdt = x.dtype
+
+    h_prev = jnp.concatenate([h0.astype(cdt)[:, None], hs[:, :-1]], axis=1)
+    c_prev = jnp.concatenate([c0.astype(cdt)[:, None], cs[:, :-1]], axis=1)
+    dgp, dh0, dc0 = lstm_layer_bwd_pallas(
+        w, b, x, mask, h_prev, c_prev,
+        g_hs.astype(cdt), g_ht, g_ct)
+
+    dgp_flat = dgp.reshape(N * T, 4 * H)
+    wx = w[:E].astype(cdt)
+    dwx = jnp.dot(x.reshape(N * T, E).T, dgp_flat, preferred_element_type=f32)
+    dwh = jnp.dot(h_prev.reshape(N * T, H).T, dgp_flat,
+                  preferred_element_type=f32)
+    dw = jnp.concatenate([dwx, dwh], axis=0).astype(w.dtype)
+    db = jnp.sum(dgp, axis=(0, 1), dtype=f32).astype(b.dtype)
+    dx = jnp.dot(dgp_flat, wx.T, preferred_element_type=f32)
+    dx = dx.reshape(N, T, E).astype(x.dtype)
+    return (dw, db, dx, jnp.zeros_like(mask),
+            dh0.astype(h0.dtype), dc0.astype(c0.dtype))
 
 
 def _layer_bwd(residuals, g):
+    if residuals[-1] is not None:   # cs saved => fused kernel path
+        return _layer_bwd_kernel_path(residuals, g)
+    residuals = residuals[:-1]
     """Hand-written batched LSTM backward.
 
     XLA's autodiff of the forward scan accumulates dWx/dWh with one matmul
