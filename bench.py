@@ -104,6 +104,34 @@ def bench_jax(steps: int = 16, warmup: int = 3) -> dict:
     evals_per_sec = eval_steps * cfg.batch_size * cfg.num_rounds / dt_e
     log(f"[jax] eval: {evals_per_sec:.1f} 100-cand evals/s")
 
+    # Disc table fast path: embed a v0.9-scale dedup'd option list once,
+    # then score batches by gather — the per-batch option LSTM disappears.
+    from visdial_tpu.parallel.train_step import make_disc_table_eval_fns
+
+    M = 100_000  # ~unique answers in a v0.9 split
+    rng_np = np.random.default_rng(0)
+    opt_list = rng_np.integers(1, cfg.vocab_size - 3,
+                               size=(M, cfg.max_ans_len)).astype(np.int32)
+    table_fn, score_fn = make_disc_table_eval_fns(cfg, mesh)
+    import jax.numpy as jnp
+    t0 = time.time()
+    table = table_fn(state.params, jnp.asarray(opt_list))
+    float(np.asarray(table[0, 0]))
+    t_table = time.time() - t0   # includes compile; report steady below
+    t0 = time.time()
+    table = table_fn(state.params, jnp.asarray(opt_list))
+    float(np.asarray(table[0, 0]))
+    t_table = time.time() - t0
+    scores = score_fn(state.params, table, batch)
+    float(np.asarray(scores[0, 0, 0]))
+    t0 = time.time()
+    for _ in range(eval_steps):
+        scores = score_fn(state.params, table, batch)
+    float(np.asarray(scores[0, 0, 0]))
+    table_eps = eval_steps * cfg.batch_size * cfg.num_rounds / (time.time() - t0)
+    log(f"[jax] disc table eval: {table_eps:.1f} evals/s per batch "
+        f"(+{t_table:.2f}s one-time {M}-row table)")
+
     # Gen-decoder eval: teacher-forced LM scoring of all 100 candidates —
     # the reference's dominant eval cost (SURVEY.md §3.2).
     from visdial_tpu.parallel.train_step import init_train_state as _init
@@ -128,6 +156,8 @@ def bench_jax(steps: int = 16, warmup: int = 3) -> dict:
         "train_rounds_per_sec_per_chip": train_rps / n_chips,
         "eval_100cand_per_sec": evals_per_sec,
         "eval_100cand_per_sec_per_chip": evals_per_sec / n_chips,
+        "disc_table_eval_per_sec_per_chip": table_eps / n_chips,
+        "disc_table_build_seconds": t_table,
         "gen_eval_100cand_per_sec_per_chip": gen_eps / n_chips,
     }
 

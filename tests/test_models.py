@@ -195,3 +195,32 @@ def test_beam_search_decode(tiny_data):
         if (row == 0).any():
             first0 = int(np.argmax(row == 0))
             assert (row[first0:] == 0).all()
+
+
+def test_disc_table_scoring_matches_direct(tiny_data):
+    """The option-table eval fast path must produce exactly the same scores
+    as re-encoding all candidates per batch (no dropout at eval, so the
+    paths are mathematically identical)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from visdial_tpu.data.loader import EvalLoader
+    from visdial_tpu.models.model import (
+        model_init,
+        model_option_table,
+        model_scores,
+        model_scores_with_table,
+    )
+
+    split, vocab, cfg = tiny_data
+    cfg = cfg.replace(encoder="mn-ques-im-hist", decoder="disc")
+    params = model_init(jax.random.PRNGKey(0), cfg)
+    batch = next(iter(EvalLoader(split, vocab, cfg, batch_size=4))).as_dict()
+
+    direct = model_scores(params, batch, cfg, impl="xla")
+    table = model_option_table(params, jnp.asarray(split.opt_list), cfg,
+                               impl="xla")
+    via_table = model_scores_with_table(params, batch, table, cfg, impl="xla")
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(via_table),
+                               atol=1e-5)

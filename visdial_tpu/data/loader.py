@@ -92,6 +92,8 @@ class Batch:
       ans_in      (B, R, La+1)     <START> + answer   (gen training)
       ans_out     (B, R, La+1)     answer + <END>     (gen training)
       opt         (B, R, K, La)    candidate tokens, left-aligned (disc)
+      opt_inds    (B, R, K)        rows into the split's opt_list (disc
+                                   eval fast path: table lookup scoring)
       opt_len     (B, R, K)
       opt_in      (B, R, K, La+1)  <START>+cand       (gen eval)
       opt_out     (B, R, K, La+1)  cand+<END>         (gen eval)
@@ -109,6 +111,7 @@ class Batch:
     ans_in: np.ndarray | None = None
     ans_out: np.ndarray | None = None
     opt: np.ndarray | None = None
+    opt_inds: np.ndarray | None = None
     opt_len: np.ndarray | None = None
     opt_in: np.ndarray | None = None
     opt_out: np.ndarray | None = None
@@ -250,6 +253,7 @@ class BatchAssembler:
             )
         if with_options:
             sel = d.opt_inds[idx]                      # (B, R, K)
+            batch.opt_inds = sel.astype(np.int32)
             if _native is not None and _native.available():
                 batch.opt = _native.gather_options(d.opt_list, sel)
             else:

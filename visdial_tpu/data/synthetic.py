@@ -148,6 +148,7 @@ def random_batch(cfg: Config, seed: int = 0, batch_size: int | None = None,
         "img": rng.standard_normal((B, cfg.img_feat_size)).astype(np.float32),
         "ans_in": ans_in, "ans_out": ans_out,
         "opt": opt, "opt_len": np.full((B, R, K), La, np.int32),
+        "opt_inds": rng.integers(0, 1024, size=(B, R, K)).astype(np.int32),
         "opt_in": opt_in, "opt_out": opt_out,
         "gt_ind": rng.integers(0, K, size=(B, R)).astype(np.int32),
         "dialog_valid": np.ones(B, np.int32),

@@ -12,34 +12,55 @@ import time
 
 import numpy as np
 
+import jax.numpy as jnp
+
 from .config import Config
 from .data.dataset import VisDialSplit, Vocabulary
 from .data.loader import EvalLoader
 from .parallel.mesh import shard_batch
-from .parallel.train_step import make_eval_fn
+from .parallel.train_step import make_disc_table_eval_fns, make_eval_fn
 from .utils.metrics import ranks_from_scores, retrieval_metrics
 
 
 def evaluate_split(params, data: VisDialSplit, vocab: Vocabulary,
-                   cfg: Config, mesh, eval_fn=None,
+                   cfg: Config, mesh, eval_fn=None, table_fns=None,
                    batch_size: int | None = None) -> dict:
     """Score all candidates over a split and compute retrieval metrics.
+
+    Disc decoder takes the table fast path: the dedup'd option list is
+    embedded once per call, then every batch is encoder-forward + a table
+    gather (exact same scores as the direct path — no dropout at eval).
+    Pass table_fns (from make_disc_table_eval_fns) to reuse compiled fns
+    across evals; gen (or table_fns=False) uses the direct scoring path.
 
     Returns the metric dict plus throughput: 'evals_per_sec' counts
     100-candidate ranking evaluations (i.e. dialog rounds scored) per
     second — the eval north-star in BASELINE.json.
     """
-    eval_fn = eval_fn or make_eval_fn(cfg, mesh)
+    use_table = cfg.decoder == "disc" and table_fns is not False
     loader = EvalLoader(data, vocab, cfg, batch_size=batch_size)
     all_ranks = []
     t0 = time.time()
     n_rounds = 0
-    for batch in loader:
-        scores = eval_fn(params, shard_batch(batch.as_dict(), mesh))
-        ranks = np.asarray(ranks_from_scores(np.asarray(scores), batch.gt_ind))
-        keep = batch.dialog_valid.astype(bool)
-        all_ranks.append(ranks[keep].reshape(-1))
-        n_rounds += int(keep.sum()) * cfg.num_rounds
+    if use_table:
+        table_fn, score_fn = table_fns or make_disc_table_eval_fns(cfg, mesh)
+        table = table_fn(params, jnp.asarray(data.opt_list))
+        for batch in loader:
+            scores = score_fn(params, table, shard_batch(batch.as_dict(), mesh))
+            ranks = np.asarray(ranks_from_scores(np.asarray(scores),
+                                                 batch.gt_ind))
+            keep = batch.dialog_valid.astype(bool)
+            all_ranks.append(ranks[keep].reshape(-1))
+            n_rounds += int(keep.sum()) * cfg.num_rounds
+    else:
+        eval_fn = eval_fn or make_eval_fn(cfg, mesh)
+        for batch in loader:
+            scores = eval_fn(params, shard_batch(batch.as_dict(), mesh))
+            ranks = np.asarray(ranks_from_scores(np.asarray(scores),
+                                                 batch.gt_ind))
+            keep = batch.dialog_valid.astype(bool)
+            all_ranks.append(ranks[keep].reshape(-1))
+            n_rounds += int(keep.sum()) * cfg.num_rounds
     elapsed = time.time() - t0
     metrics = retrieval_metrics(np.concatenate(all_ranks))
     metrics["evals_per_sec"] = n_rounds / max(elapsed, 1e-9)

@@ -258,6 +258,42 @@ def disc_option_embeddings(params, embed_params, opt_tokens, cfg: Config,
     return h_fin[-1].reshape(N, K, -1)
 
 
+def disc_option_table(params, embed_params, opt_list, cfg: Config,
+                      *, impl="xla", chunk: int = 8192):
+    """Embed the deduplicated global option list ONCE: (M, La) -> (M, H).
+
+    Eval-time optimization with no reference analog: option embeddings
+    depend only on their tokens (no dropout at eval), so the whole split's
+    candidates need one LSTM pass over the ~M unique answers instead of
+    N*K rows per batch (the reference re-encodes all 100 candidates every
+    round — evaluate.lua disc branch).  Chunked via lax.map to bound the
+    transient while keeping each chunk MXU-sized.
+    """
+    M, T = opt_list.shape
+    chunk = min(chunk, M)
+    pad = -M % chunk
+
+    def embed_chunk(tokens):
+        return disc_option_embeddings(params, embed_params,
+                                      tokens[:, None, :], cfg,
+                                      train=False, impl=impl)[:, 0]
+
+    padded = jnp.pad(opt_list, ((0, pad), (0, 0)))
+    table = jax.lax.map(embed_chunk,
+                        padded.reshape(-1, chunk, T)).reshape(M + pad, -1)
+    return table[:M]
+
+
+def disc_scores_from_table(joint, table, opt_inds):
+    """score_k = dot(table[opt_inds_k], joint).
+
+    joint (N, H); table (M, H); opt_inds (N, K) rows into the table.
+    """
+    emb = jnp.take(table, opt_inds, axis=0)                # (N, K, H)
+    return jnp.einsum("nh,nkh->nk", joint.astype(emb.dtype), emb,
+                      preferred_element_type=jnp.float32)
+
+
 def disc_scores(params, embed_params, joint, opt_tokens, cfg: Config,
                 *, train=False, rng=None, impl="xla"):
     """score_k = dot(option_k, joint) — one batched matmul."""

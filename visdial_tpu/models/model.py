@@ -19,7 +19,9 @@ from .core import embedding_init
 from .decoders import (
     decoder_init,
     disc_loss,
+    disc_option_table,
     disc_scores,
+    disc_scores_from_table,
     gen_beam_decode,
     gen_candidate_scores,
     gen_decode,
@@ -72,6 +74,30 @@ def model_scores(params, batch, cfg: Config, *, impl: str | None = None):
     else:
         scores = disc_scores(params["decoder"], params["embed"], joint,
                              batch["opt"].reshape(N, K, -1), cfg, impl=impl)
+    B = batch["ques"].shape[0]
+    return scores.reshape(B, cfg.num_rounds, K)
+
+
+def model_option_table(params, opt_list, cfg: Config, *, impl: str | None = None):
+    """Embed the split's deduplicated option list once: (M, La) -> (M, H).
+    Disc-decoder eval fast path (see decoders.disc_option_table)."""
+    assert cfg.decoder == "disc"
+    impl = impl or _impl(cfg)
+    return disc_option_table(params["decoder"], params["embed"], opt_list,
+                             cfg, impl=impl)
+
+
+def model_scores_with_table(params, batch, table, cfg: Config, *,
+                            impl: str | None = None):
+    """Candidate scores via the precomputed option-embedding table:
+    encoder forward + one gather + one batched dot per batch."""
+    impl = impl or _impl(cfg)
+    joint = encoder_apply(params["encoder"], params["embed"], batch, cfg,
+                          train=False, rng=None, impl=impl)
+    N = joint.shape[0]
+    K = cfg.num_options
+    scores = disc_scores_from_table(joint, table,
+                                    batch["opt_inds"].reshape(N, K))
     B = batch["ques"].shape[0]
     return scores.reshape(B, cfg.num_rounds, K)
 

@@ -91,3 +91,28 @@ def make_eval_fn(cfg: Config, mesh: Mesh, impl: str | None = None):
         return model_scores(params, batch, cfg, impl=impl)
 
     return jax.jit(score, in_shardings=(psh, bsh), out_shardings=bsh)
+
+
+def make_disc_table_eval_fns(cfg: Config, mesh: Mesh, impl: str | None = None):
+    """Disc eval fast path: (option_table_fn, score_fn).
+
+    option_table_fn(params, opt_list) embeds the split's dedup'd option
+    list once (replicated (M, H) table); score_fn(params, table, batch)
+    scores a batch via encoder forward + table gather — the option LSTM
+    runs over ~M unique answers per split instead of N*K rows per batch.
+    """
+    from ..models.model import model_option_table, model_scores_with_table
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    psh = state_shardings(cfg, mesh).params
+
+    table_fn = jax.jit(
+        lambda params, opt_list: model_option_table(params, opt_list, cfg,
+                                                    impl=impl),
+        in_shardings=(psh, rep), out_shardings=rep)
+    score_fn = jax.jit(
+        lambda params, table, batch: model_scores_with_table(
+            params, batch, table, cfg, impl=impl),
+        in_shardings=(psh, rep, bsh), out_shardings=bsh)
+    return table_fn, score_fn

@@ -26,7 +26,8 @@ from .data.loader import TrainLoader
 from .data.synthetic import make_synthetic_split
 from .eval_harness import evaluate_split
 from .parallel.mesh import make_mesh, shard_batch
-from .parallel.train_step import init_train_state, make_eval_fn, make_train_fn
+from .parallel.train_step import (init_train_state, make_disc_table_eval_fns,
+                                  make_eval_fn, make_train_fn)
 from .utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from .utils.logging import MetricsLogger
 from .utils.platform import apply_platform_env
@@ -87,7 +88,10 @@ def main(argv=None) -> dict:
 
     mesh = make_mesh(cfg.mesh_data, cfg.mesh_model)
     train_fn = make_train_fn(cfg, mesh)
-    eval_fn = make_eval_fn(cfg, mesh)
+    if cfg.decoder == "disc":   # table fast path; compiled once, reused
+        eval_fn, table_fns = None, make_disc_table_eval_fns(cfg, mesh)
+    else:
+        eval_fn, table_fns = make_eval_fn(cfg, mesh), False
 
     if args.resume and (path := latest_checkpoint(ckpt_dir)):
         state, cfg_saved, _ = load_checkpoint(path)
@@ -134,7 +138,8 @@ def main(argv=None) -> dict:
                 t_last, s_last = time.time(), step
             if step % eval_every == 0 or step >= max_steps:
                 metrics = evaluate_split(state.params, val_data, vocab, cfg,
-                                         mesh, eval_fn=eval_fn)
+                                         mesh, eval_fn=eval_fn,
+                                         table_fns=table_fns)
                 last_eval = metrics
                 log.log({"event": "eval", "step": step, **metrics})
             if step % save_every == 0 or step >= max_steps:
