@@ -129,3 +129,77 @@ def test_fused_backward_kernel_matches_autodiff(lstm_setup):
         lp.FORCE_BWD_KERNEL = old
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_ker)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_attention_fusion_tail_matches_unfused(tiny_data):
+    """attention_fusion_pallas == attention -> concat -> linear -> tanh
+    (the fused MN/HREA inference tail)."""
+    from visdial_tpu.ops.attention_pallas import attention_fusion_pallas
+    from visdial_tpu.models.core import linear, linear_init
+
+    H = 16
+    q = jax.random.normal(jax.random.PRNGKey(2), (6, 4, H))
+    s = jax.random.normal(jax.random.PRNGKey(3), (6, 4, H))
+    valid = jnp.broadcast_to(jnp.tril(jnp.ones((4, 4)))[None], (6, 4, 4))
+    fusion = linear_init(jax.random.PRNGKey(4), 2 * H, H)
+
+    mem = masked_slot_attention(q, s, valid, impl="xla")
+    cat = jnp.concatenate([q.reshape(-1, H), mem.reshape(-1, H)], axis=-1)
+    ref = jnp.tanh(linear(fusion, cat)).reshape(6, 4, H)
+
+    fused = attention_fusion_pallas(q, s, valid, fusion["w"], fusion["b"])
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fused), atol=1e-5)
+
+
+def test_encoder_eval_fused_tail_matches(tiny_data):
+    """encoder_apply's fused inference tail == the unfused train-graph math
+    for MN and HREA."""
+    from visdial_tpu.models.encoders import encoder_apply, encoder_init
+
+    split, vocab, cfg0 = tiny_data
+    from visdial_tpu.data.loader import EvalLoader
+
+    for enc in ("mn-ques-im-hist", "hrea-ques-im-hist"):
+        cfg = cfg0.replace(encoder=enc, decoder="disc")
+        from visdial_tpu.models.core import embedding_init
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        emb = embedding_init(k1, cfg.vocab_size, cfg.embed_size)
+        enc_p = encoder_init(k2, cfg)
+        batch = next(iter(EvalLoader(split, vocab, cfg, batch_size=4))).as_dict()
+        j_xla = encoder_apply(enc_p, emb, batch, cfg, train=False, impl="xla")
+        j_pal = encoder_apply(enc_p, emb, batch, cfg, train=False, impl="pallas")
+        np.testing.assert_allclose(np.asarray(j_xla), np.asarray(j_pal),
+                                   atol=2e-4, err_msg=enc)
+
+
+def test_lm_score_kernel_matches_ref():
+    """Online-logsumexp LM scoring == materialized log_softmax gather."""
+    from visdial_tpu.ops.lm_score_pallas import lm_token_logprobs_pallas
+
+    H, V, NT = 16, 37, 29
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (NT, H))
+    w = jax.random.normal(jax.random.PRNGKey(1), (H, V))
+    b = jax.random.normal(jax.random.PRNGKey(2), (V,)) * 0.1
+    tgt = jax.random.randint(jax.random.PRNGKey(3), (NT,), 0, V)
+
+    logits = x @ w + b
+    ref = jnp.take_along_axis(jax.nn.log_softmax(logits, -1),
+                              tgt[:, None], axis=-1)[:, 0]
+    got = lm_token_logprobs_pallas(x, w, b, tgt)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+
+
+def test_gen_candidate_scores_pallas_twin(tiny_data):
+    """gen candidate scoring: fused kernel path == chunked XLA path."""
+    from visdial_tpu.data.loader import EvalLoader
+    from visdial_tpu.models.model import model_init, model_scores
+
+    split, vocab, cfg = tiny_data
+    cfg = cfg.replace(encoder="lf-ques-im", decoder="gen")
+    params = model_init(jax.random.PRNGKey(0), cfg)
+    batch = next(iter(EvalLoader(split, vocab, cfg, batch_size=4))).as_dict()
+    s_x = model_scores(params, batch, cfg, impl="xla")
+    s_p = model_scores(params, batch, cfg, impl="pallas")
+    np.testing.assert_allclose(np.asarray(s_x), np.asarray(s_p), atol=2e-4)

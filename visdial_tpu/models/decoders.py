@@ -111,9 +111,21 @@ def gen_candidate_scores(params, embed_params, joint, opt_in, opt_out,
     outs, _ = masked_lstm(params["lm_lstm"], vecs, mask, h0, c0, impl=impl)
 
     rows = N * K
+    tgt = opt_out.reshape(rows, T)
+
+    if impl == "pallas":
+        # Fused online-logsumexp LM head: per-token log p without ever
+        # materializing (rows*T, V) logits (ops/lm_score_pallas.py).
+        from ..ops.lm_score_pallas import lm_token_logprobs_pallas
+
+        tok_lp = lm_token_logprobs_pallas(
+            outs.reshape(rows * T, -1),
+            params["out_proj"]["w"], params["out_proj"]["b"],
+            tgt.reshape(rows * T)).reshape(rows, T)
+        return jnp.sum(tok_lp * (tgt != 0), axis=-1).reshape(N, K)
+
     C = min(SCORE_CHUNK_ROWS, rows)
     pad = -rows % C
-    tgt = opt_out.reshape(rows, T)
     if pad:
         outs = jnp.pad(outs, ((0, pad), (0, 0), (0, 0)))
         tgt = jnp.pad(tgt, ((0, pad), (0, 0)))

@@ -161,13 +161,31 @@ def encoder_apply(
     valid = (slot[None, :] <= slot[:, None]).astype(facts.dtype)      # (R, R)
     valid = jnp.broadcast_to(valid[None], (B, R, R))
 
+    # Fully-fused inference tail (attention chain + fusion MLP in one VMEM
+    # pass — the 'fusion MLP' kernel; forward-only, so eval paths only).
+    fused_tail = impl == "pallas" and not train and fam in ("mn", "hrea")
+
     if fam == "mn":
+        if fused_tail:
+            from ..ops.attention_pallas import attention_fusion_pallas
+
+            joint = attention_fusion_pallas(
+                query_r, facts, valid,
+                params["fusion"]["w"], params["fusion"]["b"])
+            return joint.reshape(B * R, -1)
         mem = masked_slot_attention(query_r, facts, valid, impl=impl)  # (B,R,H)
         ctx = mem.reshape(B * R, -1)
     else:  # hre / hrea: dialog-level LSTM over fact slots
         all_ones = jnp.ones((B, R), facts.dtype)
         d_outs, _ = masked_lstm(params["dialog_lstm"], facts, all_ones, impl=impl)
         if fam == "hrea":
+            if fused_tail:
+                from ..ops.attention_pallas import attention_fusion_pallas
+
+                joint = attention_fusion_pallas(
+                    query_r, d_outs, valid,
+                    params["fusion"]["w"], params["fusion"]["b"])
+                return joint.reshape(B * R, -1)
             mem = masked_slot_attention(query_r, d_outs, valid, impl=impl)
             ctx = mem.reshape(B * R, -1)
         else:

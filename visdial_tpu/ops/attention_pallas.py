@@ -98,3 +98,81 @@ _attention.defvjp(_attention_fwd, _attention_bwd)
 def masked_slot_attention_pallas(query, slots, valid):
     """Fused twin of ops.attention.masked_slot_attention(impl='xla')."""
     return _attention(query, slots, valid)
+
+
+# ---------------------------------------------------------------------------
+# attention + fusion MLP (the full MN/HREA joint-embedding tail in one pass)
+# ---------------------------------------------------------------------------
+
+def _attention_fusion_kernel(q_ref, s_ref, valid_ref, wq_ref, wm_ref, b_ref,
+                             out_ref):
+    """Attention chain + fusion MLP: joint = tanh([q; mem] @ Wf + b),
+    computed as q @ Wf_top + mem @ Wf_bot without materializing mem or the
+    concat in HBM.  Blocks: q (TB,R,H), s (TB,S,H), valid (TB,R,S),
+    wq/wm (H,H), b (1,H), out (TB,R,H)."""
+    TB, R, H = q_ref.shape
+    q = q_ref[:].astype(jnp.float32)
+    s = s_ref[:].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        q, s, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    scores = jnp.where(valid_ref[:].astype(jnp.float32) > 0, scores, NEG_INF)
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores)
+    att = e / jnp.sum(e, axis=-1, keepdims=True)
+    mem = jax.lax.dot_general(
+        att, s, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # (TB, R, H)
+    dt = q_ref.dtype
+    pre = (jnp.dot(q.reshape(TB * R, H).astype(dt), wq_ref[:],
+                   preferred_element_type=jnp.float32)
+           + jnp.dot(mem.reshape(TB * R, H).astype(dt), wm_ref[:],
+                     preferred_element_type=jnp.float32)
+           + b_ref[:].astype(jnp.float32))
+    out_ref[:] = jnp.tanh(pre).reshape(TB, R, H).astype(out_ref.dtype)
+
+
+def attention_fusion_pallas(query, slots, valid, fusion_w, fusion_b,
+                            *, interpret: bool | None = None):
+    """joint = tanh(concat([query, attention(query, slots)]) @ Wf + b)
+    in one VMEM pass — the full MN/HREA tail (reference: encoders/mn-*.lua
+    attention + fusion Linear+Tanh; the 'fusion MLP' kernel named in
+    BASELINE.json).  fusion_w (2H, H) rows [query-half; memory-half].
+
+    Forward-only fusion for the no-dropout path (eval); training and
+    gradients go through the unfused ops, which are numerically identical.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, R, H = query.shape
+    S = slots.shape[1]
+    TB = 8
+    B_pad = -(-B // TB) * TB
+    if B_pad != B:
+        pad = B_pad - B
+        query = jnp.pad(query, ((0, pad), (0, 0), (0, 0)))
+        slots = jnp.pad(slots, ((0, pad), (0, 0), (0, 0)))
+        valid = jnp.pad(valid, ((0, pad), (0, 0), (0, 0)),
+                        constant_values=1.0)
+    dt = query.dtype
+    wq = fusion_w[:H].astype(dt)
+    wm = fusion_w[H:].astype(dt)
+    b2 = fusion_b.reshape(1, -1).astype(jnp.float32)
+    blk = lambda i: (i, 0, 0)
+    mat = lambda i: (0, 0)
+    out = pl.pallas_call(
+        _attention_fusion_kernel,
+        grid=(B_pad // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, R, H), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, S, H), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, R, S), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), mat, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, R, H), blk, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B_pad, R, H), dt),
+        interpret=interpret,
+    )(query, slots, valid, wq, wm, b2)
+    return out[:B]
