@@ -64,6 +64,7 @@ def bench_jax(steps: int = 16, warmup: int = 3) -> dict:
     )
 
     cfg = flagship_config()
+    jax.config.update("jax_default_prng_impl", cfg.prng_impl)
     n_chips = len(jax.devices())
     mesh = make_mesh()
     log(f"[jax] backend={jax.default_backend()} chips={n_chips} "

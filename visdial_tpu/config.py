@@ -92,6 +92,9 @@ class Config:
     # --- TPU execution ---
     use_pallas: bool = True      # fused kernels on TPU; pure-JAX twin otherwise
     compute_dtype: str = "float32"  # float32 | bfloat16 for matmul inputs
+    prng_impl: str = "rbg"       # rbg (TPU-native, faster dropout masks) |
+                                 # threefry2x32 (JAX default, fully stable
+                                 # across backends); applied by the CLIs
     mesh_data: int = -1          # data-parallel axis size; -1 = all devices
     mesh_model: int = 1          # model axis (reserved, size 1 for this workload)
 

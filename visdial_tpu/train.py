@@ -69,6 +69,7 @@ def main(argv=None) -> dict:
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     cfg = config_from_args(args)
+    jax.config.update("jax_default_prng_impl", cfg.prng_impl)
 
     if args.synthetic:
         train_data, vocab = make_synthetic_split(cfg, num_dialogs=args.synthetic,

@@ -105,8 +105,10 @@ def load_checkpoint(path: str) -> tuple[TrainState, Config, dict]:
     params = _dict_to_tree(template.params, load_npz("params.npz"))
     m = _dict_to_tree(template.opt.m, load_npz("opt_m.npz"))
     v = _dict_to_tree(template.opt.v, load_npz("opt_v.npz"))
+    rng_data = np.asarray(meta["rng"], dtype=np.uint32)
+    # key width identifies the PRNG impl (threefry2x32: 2 words; rbg: 4)
     rng = jax.random.wrap_key_data(
-        np.asarray(meta["rng"], dtype=np.uint32))
+        rng_data, impl="threefry2x32" if rng_data.shape[-1] == 2 else "rbg")
     opt = OptState(np.asarray(meta["step"], np.int32), m, v)
     state = TrainState(params, opt, rng)
     return state, cfg, meta.get("extra", {})
