@@ -132,16 +132,49 @@ def _attention_fusion_kernel(q_ref, s_ref, valid_ref, wq_ref, wm_ref, b_ref,
     out_ref[:] = jnp.tanh(pre).reshape(TB, R, H).astype(out_ref.dtype)
 
 
-def attention_fusion_pallas(query, slots, valid, fusion_w, fusion_b,
-                            *, interpret: bool | None = None):
+def _attention_fusion_ref(query, slots, valid, fusion_w, fusion_b):
+    """Unfused twin: attention -> concat -> linear -> tanh."""
+    B, R, H = query.shape
+    mem = _attention_ref(query, slots, valid)
+    cat = jnp.concatenate([query.reshape(-1, H), mem.reshape(-1, H)], -1)
+    pre = (jnp.dot(cat, fusion_w.astype(cat.dtype),
+                   preferred_element_type=jnp.float32) + fusion_b)
+    return jnp.tanh(pre).reshape(B, R, H).astype(query.dtype)
+
+
+@jax.custom_vjp
+def attention_fusion_pallas(query, slots, valid, fusion_w, fusion_b):
     """joint = tanh(concat([query, attention(query, slots)]) @ Wf + b)
     in one VMEM pass — the full MN/HREA tail (reference: encoders/mn-*.lua
     attention + fusion Linear+Tanh; the 'fusion MLP' kernel named in
     BASELINE.json).  fusion_w (2H, H) rows [query-half; memory-half].
 
-    Forward-only fusion for the no-dropout path (eval); training and
-    gradients go through the unfused ops, which are numerically identical.
+    Gradients go through the unfused twin (numerically identical chain).
     """
+    return _attention_fusion_impl(query, slots, valid, fusion_w, fusion_b)
+
+
+def _attention_fusion_fwd(query, slots, valid, fusion_w, fusion_b):
+    out = _attention_fusion_impl(query, slots, valid, fusion_w, fusion_b)
+    return out, (query, slots, valid, fusion_w, fusion_b)
+
+
+def _attention_fusion_bwd(residuals, g):
+    query, slots, valid, fusion_w, fusion_b = residuals
+
+    def ref(query, slots, fusion_w, fusion_b):
+        return _attention_fusion_ref(query, slots, valid, fusion_w, fusion_b)
+
+    _, vjp = jax.vjp(ref, query, slots, fusion_w, fusion_b)
+    dq, ds, dw, db = vjp(g)
+    return dq, ds, jnp.zeros_like(valid), dw, db
+
+
+attention_fusion_pallas.defvjp(_attention_fusion_fwd, _attention_fusion_bwd)
+
+
+def _attention_fusion_impl(query, slots, valid, fusion_w, fusion_b,
+                           *, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, R, H = query.shape
