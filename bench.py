@@ -241,8 +241,12 @@ def torch_baseline_rounds_per_sec() -> float:
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             cached = json.load(f)
-        log(f"[torch-cpu] cached baseline {cached['rounds_per_sec']:.2f} rounds/s")
-        return cached["rounds_per_sec"]
+        if cached.get("host_cpus") == os.cpu_count():
+            log(f"[torch-cpu] cached baseline "
+                f"{cached['rounds_per_sec']:.2f} rounds/s")
+            return cached["rounds_per_sec"]
+        log("[torch-cpu] cache is from a different host (cpu count "
+            f"{cached.get('host_cpus')} != {os.cpu_count()}); re-measuring")
     try:
         rps = bench_torch_cpu()
     except Exception as e:  # torch missing/broken: fall back, don't fail bench

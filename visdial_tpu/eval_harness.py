@@ -37,30 +37,29 @@ def evaluate_split(params, data: VisDialSplit, vocab: Vocabulary,
     100-candidate ranking evaluations (i.e. dialog rounds scored) per
     second — the eval north-star in BASELINE.json.
     """
-    use_table = cfg.decoder == "disc" and table_fns is not False
+    # An explicitly supplied eval_fn wins (callers forcing the direct path);
+    # otherwise disc defaults to the table fast path.
+    use_table = (cfg.decoder == "disc" and table_fns is not False
+                 and (table_fns is not None or eval_fn is None))
     loader = EvalLoader(data, vocab, cfg, batch_size=batch_size)
-    all_ranks = []
-    t0 = time.time()
-    n_rounds = 0
     if use_table:
         table_fn, score_fn = table_fns or make_disc_table_eval_fns(cfg, mesh)
         table = table_fn(params, jnp.asarray(data.opt_list))
-        for batch in loader:
-            scores = score_fn(params, table, shard_batch(batch.as_dict(), mesh))
-            ranks = np.asarray(ranks_from_scores(np.asarray(scores),
-                                                 batch.gt_ind))
-            keep = batch.dialog_valid.astype(bool)
-            all_ranks.append(ranks[keep].reshape(-1))
-            n_rounds += int(keep.sum()) * cfg.num_rounds
+        score = lambda b: score_fn(params, table, b)
     else:
-        eval_fn = eval_fn or make_eval_fn(cfg, mesh)
-        for batch in loader:
-            scores = eval_fn(params, shard_batch(batch.as_dict(), mesh))
-            ranks = np.asarray(ranks_from_scores(np.asarray(scores),
-                                                 batch.gt_ind))
-            keep = batch.dialog_valid.astype(bool)
-            all_ranks.append(ranks[keep].reshape(-1))
-            n_rounds += int(keep.sum()) * cfg.num_rounds
+        direct_fn = eval_fn or make_eval_fn(cfg, mesh)
+        score = lambda b: direct_fn(params, b)
+
+    all_ranks = []
+    t0 = time.time()
+    n_rounds = 0
+    for batch in loader:
+        scores = score(shard_batch(batch.as_dict(), mesh))
+        ranks = np.asarray(ranks_from_scores(np.asarray(scores),
+                                             batch.gt_ind))
+        keep = batch.dialog_valid.astype(bool)
+        all_ranks.append(ranks[keep].reshape(-1))
+        n_rounds += int(keep.sum()) * cfg.num_rounds
     elapsed = time.time() - t0
     metrics = retrieval_metrics(np.concatenate(all_ranks))
     metrics["evals_per_sec"] = n_rounds / max(elapsed, 1e-9)

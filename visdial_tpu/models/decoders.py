@@ -165,7 +165,8 @@ def gen_decode(params, embed_params, joint, cfg: Config, *,
         tok, h, c, done, lp_sum = carry
         x_t = embed(embed_params, tok[:, None])[:, 0]       # (N, E)
         top, h, c = lstm_step(params["lm_lstm"], x_t, h, c)
-        logits = linear(params["out_proj"], top)            # (N, V)
+        logits = linear(params["out_proj"], top,
+                        out_dtype=jnp.float32)              # (N, V)
         logp = jax.nn.log_softmax(logits, axis=-1)
         if greedy:
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -173,9 +174,11 @@ def gen_decode(params, embed_params, joint, cfg: Config, *,
             nxt = jax.random.categorical(
                 step_rng, logits / temperature, axis=-1).astype(jnp.int32)
         tok_lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
-        emit = jnp.where(done | (nxt == end_token), 0, nxt)
+        # emitting <END> or PAD (0 — never a training target) ends the row
+        stop = (nxt == end_token) | (nxt == 0)
+        emit = jnp.where(done | stop, 0, nxt)
         lp_sum = lp_sum + jnp.where(done, 0.0, tok_lp)
-        done = done | (nxt == end_token)
+        done = done | stop
         return (jnp.where(emit == 0, end_token, emit), h, c, done, lp_sum), emit
 
     keys = (jax.random.split(rng, max_len) if rng is not None
@@ -235,10 +238,11 @@ def gen_beam_decode(params, embed_params, joint, cfg: Config, *,
         c = c[:, gidx]
         seqs = jnp.take_along_axis(seqs, src_beam[..., None], axis=1)
         done = jnp.take_along_axis(done, src_beam, axis=1)
-        emit = jnp.where(done | (new_tok == end_token), 0, new_tok)
+        stop = (new_tok == end_token) | (new_tok == 0)
+        emit = jnp.where(done | stop, 0, new_tok)
         seqs = jax.lax.dynamic_update_slice_in_dim(
             seqs, emit[..., None], t, axis=2)
-        done = done | (new_tok == end_token)
+        done = done | stop
         feed = jnp.where(emit == 0, end_token, emit)
         return (feed, h, c, done, new_lp, seqs, t + 1), None
 

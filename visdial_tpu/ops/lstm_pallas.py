@@ -15,10 +15,13 @@ Layout choices (see /opt/skills/guides/pallas_guide.md):
     tests) with float32 accumulation; h/c carries are float32 always;
   * the batch tile TB adapts to T so x + hs + weights fit the ~16MB VMEM.
 
-Gradients: `masked_lstm_pallas` carries a custom VJP whose backward
-recomputes through the pure-JAX twin (ops/lstm.py impl='xla') — numerically
-the same recurrence, so training through the fused forward is correct; the
-fully-fused backward kernel is tracked as a follow-up optimization.
+Gradients: `masked_lstm_pallas` carries a custom VJP.  On the bf16 TPU
+fast path the backward runs as a second fused kernel (`_lstm_bwd_kernel`):
+gate activations are recomputed from the streamed inputs, the chain rule is
+applied in registers, and only dgates @ Wh^T is sequential; the dW/dx
+contractions happen as three large XLA matmuls over the flattened (N*T)
+axis.  Other dtypes/backends use a hand-written batched XLA backward with
+the same structure (both are tested against autodiff of the twin).
 """
 
 from __future__ import annotations
@@ -38,20 +41,25 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pick_tile(T: int, E_pad: int, H: int, itemsize: int) -> int:
+def _pick_tile(T: int, E_pad: int, H: int, itemsize: int,
+               backward: bool = False) -> int:
     """Largest batch tile (multiple of 8, <=512) such that everything a grid
     program holds fits the scoped VMEM budget: the weight scratch (single
     copy — weights are DMA'd once, outside the pipeline), the pipelined
     per-step blocks (x_t, hs_t, mask row, boundary state blocks; Mosaic
     double-buffers these), the h/c carry scratch, and the f32 gate
-    temporaries."""
+    temporaries.  The backward kernel additionally streams h_prev, c_prev,
+    and g_hs blocks in and a 4H-wide dgp block out."""
     weights = (E_pad + H + 8) * 4 * H * itemsize + 4 * H * 4
     per_row = (
-        2 * (E_pad + H) * itemsize                 # x_t + hs_t blocks (x2 DB)
+        2 * (E_pad + H) * itemsize                 # x_t + hs_t/dgp (x2 DB)
         + 2 * _round_up(T, LANE) * itemsize        # mask row (lane-padded)
         + 2 * 4 * H * 4                            # h0/c0/ht/ct blocks (x2 DB)
         + 2 * H * 4                                # h/c carry scratch
         + 4 * 4 * H * 4)                           # f32 gates + slices (stack)
+    if backward:
+        # h_prev + c_prev + g_hs inputs, and dgp out is 4H wide (vs hs's H)
+        per_row += 2 * (3 * H + 3 * H) * itemsize
     tb = max(VMEM_BUDGET - weights, 0) // max(per_row, 1)
     return max(8, min(512, (tb // 8) * 8))
 
@@ -332,7 +340,7 @@ def lstm_layer_bwd_pallas(w, b, x, mask, h_prev_all, c_prev_all,
     wh = w[E:].astype(dtype)
     b2 = b.reshape(1, -1).astype(jnp.float32)
 
-    TB = _pick_tile(T, E_pad, H, jnp.dtype(dtype).itemsize)
+    TB = _pick_tile(T, E_pad, H, jnp.dtype(dtype).itemsize, backward=True)
     N_pad = _round_up(N, TB)
     if N_pad != N:
         pad2 = ((0, N_pad - N), (0, 0))

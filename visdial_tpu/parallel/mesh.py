@@ -19,6 +19,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..utils.tree import tree_path_str
+
 
 def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
@@ -37,18 +39,6 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
-
-
-def _leaf_path_str(path) -> str:
-    parts = []
-    for p in path:
-        if hasattr(p, "key"):
-            parts.append(str(p.key))
-        elif hasattr(p, "idx"):
-            parts.append(str(p.idx))
-        else:
-            parts.append(str(p))
-    return "/".join(parts)
 
 
 def param_pspec(path: str, ndim: int) -> P:
@@ -77,7 +67,7 @@ def tree_shardings(template, mesh: Mesh):
     concrete); leaves are matched by tree path via param_pspec."""
 
     def to_sharding(path, leaf):
-        spec = param_pspec(_leaf_path_str(path), len(getattr(leaf, "shape", ())))
+        spec = param_pspec(tree_path_str(path), len(getattr(leaf, "shape", ())))
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(to_sharding, template)

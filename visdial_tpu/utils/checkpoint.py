@@ -23,32 +23,21 @@ import jax
 import numpy as np
 
 from ..config import Config
+from .tree import tree_path_str
 from ..parallel.optim import OptState
 from ..parallel.train_step import TrainState
 
 
-def _path_str(path) -> str:
-    parts = []
-    for p in path:
-        if hasattr(p, "key"):
-            parts.append(str(p.key))
-        elif hasattr(p, "idx"):
-            parts.append(str(p.idx))
-        else:
-            parts.append(str(p))
-    return "/".join(parts)
-
-
 def _tree_to_dict(tree) -> dict[str, np.ndarray]:
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
-    return {_path_str(path): np.asarray(leaf) for path, leaf in flat}
+    return {tree_path_str(path): np.asarray(leaf) for path, leaf in flat}
 
 
 def _dict_to_tree(template, d: dict[str, np.ndarray]):
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
     for path, leaf in flat:
-        arr = d[_path_str(path)]
+        arr = d[tree_path_str(path)]
         leaves.append(np.asarray(arr, dtype=np.asarray(leaf).dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
