@@ -54,6 +54,10 @@ def flagship_config(batch_size: int = 32):
 def bench_jax(steps: int = 16, warmup: int = 3) -> dict:
     import jax
 
+    from visdial_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from visdial_tpu.data.synthetic import random_batch
     from visdial_tpu.parallel.mesh import make_mesh, shard_batch
     from visdial_tpu.parallel.train_step import (

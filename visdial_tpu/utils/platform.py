@@ -23,4 +23,23 @@ def apply_platform_env() -> str:
             jax.config.update("jax_platforms", want)
         except Exception:
             pass
+    enable_compilation_cache()
     return jax.default_backend()
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persistent XLA compilation cache (measured here: a ~140s TPU compile
+    replays in ~3s).  Default location is repo-local (gitignored); override
+    with VISDIAL_JAX_CACHE, or set it to '0' to disable."""
+    env = os.environ.get("VISDIAL_JAX_CACHE", "")
+    if env == "0":
+        return
+    path = path or env or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
