@@ -116,8 +116,14 @@ def main(argv=None) -> dict:
     running = None
     last_eval: dict = {}
     epoch = step // steps_per_epoch
+    # Deterministic mid-epoch resume (SURVEY.md §5 recovery story): the
+    # epoch's batch order is a pure function of (seed, epoch), so skipping
+    # the already-consumed prefix reproduces the unbroken run exactly.
+    skip = step % steps_per_epoch
     while step < max_steps:
-        for batch in loader.epoch(seed=cfg.seed + epoch):
+        for batch_idx, batch in enumerate(loader.epoch(seed=cfg.seed + epoch)):
+            if batch_idx < skip:
+                continue
             if prof_range and step == prof_range[0]:
                 jax.profiler.start_trace(os.path.join(ckpt_dir, "trace"))
             b = shard_batch(batch.as_dict(), mesh)
@@ -149,6 +155,7 @@ def main(argv=None) -> dict:
             if step >= max_steps:
                 break
         epoch += 1
+        skip = 0
     log.log({"event": "done", "step": step, **{f"final_{k}": v
                                                for k, v in last_eval.items()}})
     log.close()
