@@ -1,0 +1,45 @@
+"""Interactive inference engine: raw-text queries through a checkpoint."""
+
+import jax
+import numpy as np
+
+from visdial_tpu.data.synthetic import make_synthetic_split
+from visdial_tpu.infer import InferenceEngine
+from visdial_tpu.parallel.train_step import init_train_state
+from visdial_tpu.utils.checkpoint import save_checkpoint
+
+from conftest import small_config
+
+
+def _checkpoint(tmp_path, decoder):
+    cfg = small_config(encoder="mn-ques-im-hist", decoder=decoder)
+    _, vocab = make_synthetic_split(cfg, num_dialogs=4, seed=0)
+    cfg = cfg.replace(vocab_size=vocab.size)
+    state = init_train_state(cfg)
+    return save_checkpoint(str(tmp_path / decoder), state, cfg)
+
+
+def test_rank_answers_disc(tmp_path):
+    path = _checkpoint(tmp_path, "disc")
+    eng = InferenceEngine(path, synthetic=8)
+    out = eng.rank_answers("w002 w001", caption="w003 w004",
+                           history=[("w001", "w002 w003")], top_k=4)
+    assert len(out) == 4
+    scores = [o["score"] for o in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(isinstance(o["answer"], str) and o["answer"] for o in out)
+    # determinism
+    out2 = eng.rank_answers("w002 w001", caption="w003 w004",
+                            history=[("w001", "w002 w003")], top_k=4)
+    assert [o["answer"] for o in out] == [o["answer"] for o in out2]
+
+
+def test_generate_answer_gen(tmp_path):
+    path = _checkpoint(tmp_path, "gen")
+    eng = InferenceEngine(path, synthetic=8)
+    greedy = eng.generate_answer("w002 w001", caption="w003")
+    assert isinstance(greedy["answer"], str)
+    assert greedy["log_prob"] <= 0.0
+    beam = eng.generate_answer("w002 w001", caption="w003", beam_size=3)
+    # a width-3 beam can only match or beat greedy
+    assert beam["log_prob"] >= greedy["log_prob"] - 1e-4

@@ -1,0 +1,178 @@
+"""Interactive / serving inference — answer questions about an image.
+
+The reference has no serving story (generate.lua is batch-only); this
+module adds one: load a checkpoint once, jit the single-dialog forward at
+fixed shapes, and answer ad-hoc (caption, history, question) queries at
+interactive latency.
+
+* disc checkpoints rank the ENTIRE answer pool (the split's deduplicated
+  option list) via the option-embedding table — one encoder forward + one
+  (1, H) x (H, M) matmul per query — and return the top-k answers.
+* gen checkpoints decode free-form text (greedy or beam).
+
+CLI: one JSON query per stdin line, one JSON answer per stdout line:
+
+    echo '{"caption": "a man on a horse", "question": "is it sunny ?",
+           "history": [["is the man old ?", "no"]]}' | \
+    python -m visdial_tpu.infer --load_path checkpoints/run/step_N \
+        --data_dir data [--top_k 5 | --beam_size 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .data.dataset import VisDialSplit, Vocabulary, load_split
+from .data.loader import BatchAssembler
+from .data.prepro import tokenize
+from .data.synthetic import make_synthetic_split
+from .models.model import (
+    model_generate,
+    model_option_table,
+)
+from .models.encoders import encoder_apply
+from .utils.checkpoint import load_checkpoint
+from .utils.platform import apply_platform_env
+
+
+class InferenceEngine:
+    """Checkpoint + vocabulary + (for disc) the answer-pool table, with
+    jitted single-dialog forwards cached at fixed shapes."""
+
+    def __init__(self, load_path: str, data_dir: str = "",
+                 synthetic: int = 0):
+        state, cfg, _ = load_checkpoint(load_path)
+        if data_dir:
+            cfg = cfg.replace(data_dir=data_dir)
+        if synthetic:
+            data, vocab = make_synthetic_split(cfg, num_dialogs=synthetic,
+                                               seed=cfg.seed + 1)
+        else:
+            data, vocab = load_split(cfg.data_dir, "val")
+        self.cfg = cfg
+        self.vocab = vocab
+        self.params = state.params
+        self.opt_list = data.opt_list
+        self.opt_list_len = data.opt_list_len
+        self._template = data           # shapes/feature-dim template
+        self._encode_jit = jax.jit(
+            lambda params, batch: encoder_apply(
+                params["encoder"], params["embed"], batch, cfg, train=False))
+        if cfg.decoder == "disc":
+            table = model_option_table(self.params, jnp.asarray(data.opt_list),
+                                       cfg)
+            self._table = table
+            self._rank_jit = jax.jit(
+                lambda joint, table: jnp.dot(
+                    joint.astype(table.dtype), table.T,
+                    preferred_element_type=jnp.float32))
+        else:
+            self._gen_jit = jax.jit(
+                lambda params, batch, beam: model_generate(
+                    params, batch, cfg, start_token=vocab.start,
+                    end_token=vocab.end, beam_size=beam, greedy=True),
+                static_argnums=(2,))
+
+    # -- raw text -> one-dialog split ------------------------------------
+    def _encode_dialog(self, caption: str, history, question: str,
+                       img_feat=None) -> tuple[VisDialSplit, int]:
+        cfg, v = self.cfg, self.vocab
+        R = cfg.num_rounds
+        history = list(history or [])[: R - 1]
+        t = len(history)                       # current round index
+        ques = np.zeros((1, R, cfg.max_ques_len), np.int32)
+        ques_len = np.zeros((1, R), np.int32)
+        ans = np.zeros((1, R, cfg.max_ans_len), np.int32)
+        ans_len = np.zeros((1, R), np.int32)
+        for r, (q, a) in enumerate(history):
+            ques[0, r], ques_len[0, r] = v.encode(tokenize(q), cfg.max_ques_len)
+            ans[0, r], ans_len[0, r] = v.encode(tokenize(a), cfg.max_ans_len)
+        ques[0, t], ques_len[0, t] = v.encode(tokenize(question),
+                                              cfg.max_ques_len)
+        cap = np.zeros((1, cfg.max_cap_len), np.int32)
+        cap_enc, cap_n = v.encode(tokenize(caption or ""), cfg.max_cap_len)
+        cap[0] = cap_enc
+        F = self._template.img_feat.shape[1]
+        feat = (np.asarray(img_feat, np.float32).reshape(1, F)
+                if img_feat is not None else np.zeros((1, F), np.float32))
+        split = VisDialSplit(
+            ques=ques, ques_len=ques_len, ans=ans, ans_len=ans_len,
+            cap=cap, cap_len=np.array([cap_n], np.int32),
+            opt_list=self.opt_list, opt_list_len=self.opt_list_len,
+            opt_inds=np.zeros((1, R, self.cfg.num_options), np.int32),
+            gt_ind=np.zeros((1, R), np.int32),
+            img_feat=feat, img_ids=np.zeros(1, np.int64),
+        )
+        return split, t
+
+    def _joint(self, caption, history, question, img_feat):
+        split, t = self._encode_dialog(caption, history, question, img_feat)
+        asm = BatchAssembler(split, self.vocab, self.cfg)
+        batch = asm.assemble(np.array([0]), with_options=False).as_dict()
+        joint = self._encode_jit(self.params, batch)       # (R, H)
+        return joint, batch, t
+
+    # -- public API -------------------------------------------------------
+    def rank_answers(self, question: str, caption: str = "", history=None,
+                     img_feat=None, top_k: int = 5) -> list[dict]:
+        """Top-k answers from the whole pool with scores (disc decoder)."""
+        assert self.cfg.decoder == "disc"
+        joint, _, t = self._joint(caption, history, question, img_feat)
+        scores = np.asarray(self._rank_jit(joint[t:t + 1], self._table))[0]
+        top = np.argsort(-scores)[:top_k]
+        return [{"answer": " ".join(self.vocab.decode(self.opt_list[i])),
+                 "score": float(scores[i])} for i in top]
+
+    def generate_answer(self, question: str, caption: str = "", history=None,
+                        img_feat=None, beam_size: int = 0) -> dict:
+        """Free-form decoded answer (gen decoder)."""
+        assert self.cfg.decoder == "gen"
+        split, t = self._encode_dialog(caption, history, question, img_feat)
+        asm = BatchAssembler(split, self.vocab, self.cfg)
+        batch = asm.assemble(np.array([0]), with_options=False).as_dict()
+        toks, logp = self._gen_jit(self.params, batch, int(beam_size))
+        return {"answer": " ".join(self.vocab.decode(np.asarray(toks)[0, t])),
+                "log_prob": float(np.asarray(logp)[0, t])}
+
+
+def main(argv=None) -> None:
+    apply_platform_env()
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--load_path", required=True)
+    p.add_argument("--data_dir", type=str, default="")
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--top_k", type=int, default=5)
+    p.add_argument("--beam_size", type=int, default=0)
+    args = p.parse_args(argv)
+
+    engine = InferenceEngine(args.load_path, data_dir=args.data_dir,
+                             synthetic=args.synthetic)
+    print(json.dumps({"event": "ready",
+                      "model": f"{engine.cfg.encoder}-{engine.cfg.decoder}"}),
+          flush=True)
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        q = json.loads(line)
+        if engine.cfg.decoder == "disc":
+            out = engine.rank_answers(
+                q["question"], q.get("caption", ""), q.get("history"),
+                q.get("img_feat"), top_k=args.top_k)
+            print(json.dumps({"answers": out}), flush=True)
+        else:
+            out = engine.generate_answer(
+                q["question"], q.get("caption", ""), q.get("history"),
+                q.get("img_feat"), beam_size=args.beam_size)
+            print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
