@@ -114,6 +114,7 @@ def main(argv=None) -> dict:
     t_last, s_last = time.time(), step
     rounds_per_batch = cfg.batch_size * cfg.num_rounds
     running = None
+    loss_buf: list = []
     last_eval: dict = {}
     epoch = step // steps_per_epoch
     # Deterministic mid-epoch resume (SURVEY.md §5 recovery story): the
@@ -131,15 +132,32 @@ def main(argv=None) -> dict:
             step += 1
             if prof_range and step == prof_range[1]:
                 jax.profiler.stop_trace()
-            loss = float(m["loss"])
-            running = loss if running is None else 0.95 * running + 0.05 * loss
-            if step % cfg.log_every == 0:
+            # Keep losses as device scalars between log points: a per-step
+            # float() readback would sync host<->device every step and gate
+            # dispatch of the next one.
+            loss_buf.append(m["loss"])
+            if step % cfg.log_every == 0 or step >= max_steps:
+                losses = [float(np.asarray(x)) for x in loss_buf]
+                loss_buf.clear()
+                for loss in losses:
+                    running = (loss if running is None
+                               else 0.95 * running + 0.05 * loss)
+                if not np.isfinite(losses[-1]):
+                    # failure detection (SURVEY.md §5): stop before the
+                    # divergence propagates into the next checkpoint; the
+                    # latest good checkpoint + deterministic resume is the
+                    # recovery path.
+                    log.log({"event": "non_finite_loss", "step": step,
+                             "loss": losses[-1]})
+                    raise FloatingPointError(
+                        f"non-finite loss {losses[-1]} at step {step}; "
+                        "re-run with --debug_nans to locate the origin")
                 dt = time.time() - t_last
                 rps = (step - s_last) * rounds_per_batch / max(dt, 1e-9)
                 log.log({"event": "train", "step": step, "epoch": epoch,
-                         "loss": loss, "running_loss": running,
-                         "lr": float(m["lr"]),
-                         "grad_norm": float(m["grad_norm"]),
+                         "loss": losses[-1], "running_loss": running,
+                         "lr": float(np.asarray(m["lr"])),
+                         "grad_norm": float(np.asarray(m["grad_norm"])),
                          "rounds_per_sec": rps,
                          "rounds_per_sec_per_chip": rps / len(jax.devices())})
                 t_last, s_last = time.time(), step
