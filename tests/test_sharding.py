@@ -71,3 +71,21 @@ def test_batch_sharding_layout(setup):
         assert len(shard_shapes) == 1
         per_dev = next(iter(shard_shapes))
         assert per_dev[0] == v.shape[0] // 8, (k, per_dev, v.shape)
+
+
+def test_table_eval_matches_direct_on_mesh(setup):
+    """Disc table-path scoring over the 8-device mesh == direct scoring."""
+    from visdial_tpu.data.synthetic import make_synthetic_split
+    from visdial_tpu.parallel.train_step import make_disc_table_eval_fns
+
+    cfg, batch = setup
+    split, vocab = make_synthetic_split(
+        small_config(encoder="lf-ques-im-hist", decoder="disc", batch_size=8),
+        num_dialogs=8, seed=3)
+    mesh8 = make_mesh(data=8, model=1)
+    state = init_train_state(cfg)
+    direct = make_eval_fn(cfg, mesh8)(state.params, shard_batch(batch, mesh8))
+    table_fn, score_fn = make_disc_table_eval_fns(cfg, mesh8)
+    table = table_fn(state.params, jnp.asarray(split.opt_list))
+    via = score_fn(state.params, table, shard_batch(batch, mesh8))
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(via), atol=1e-4)

@@ -159,3 +159,44 @@ def random_batch(cfg: Config, seed: int = 0, batch_size: int | None = None,
             mask = np.arange(batch[k].shape[-1]) < keep[..., None]
             batch[k] = np.where(mask, batch[k], 0)
     return batch
+
+
+def make_random_split(cfg: Config, num_dialogs: int,
+                      num_unique_answers: int = 100_000,
+                      seed: int = 0) -> tuple[VisDialSplit, Vocabulary]:
+    """Fully vectorized random split at production scale (v0.9 is ~80k
+    train dialogs, ~100k unique answers) — for pipeline/throughput
+    rehearsals, not learnability (use make_synthetic_split for that)."""
+    rng = np.random.default_rng(seed)
+    vocab = synthetic_vocab(num_words=8800)
+    cfg = cfg
+    N, R, K = num_dialogs, cfg.num_rounds, cfg.num_options
+    Lq, La, Lc = cfg.max_ques_len, cfg.max_ans_len, cfg.max_cap_len
+    W = vocab.size - 1 - 3
+    M = num_unique_answers
+
+    def rand_tokens(shape, L, lo=1):
+        toks = rng.integers(1, W + 1, size=shape + (L,)).astype(np.int32)
+        lens = rng.integers(lo, L + 1, size=shape).astype(np.int32)
+        toks *= (np.arange(L) < lens[..., None])
+        return toks, lens
+
+    ques, ques_len = rand_tokens((N, R), Lq, lo=2)
+    opt_list, opt_list_len = rand_tokens((M,), La)
+    # answers ARE rows of the option list (as in real data)
+    ans_rows = rng.integers(0, M, size=(N, R)).astype(np.int32)
+    ans = opt_list[ans_rows]
+    ans_len = opt_list_len[ans_rows]
+    # 100 candidates: random rows, ground truth planted at a random slot
+    opt_inds = rng.integers(0, M, size=(N, R, K)).astype(np.int32)
+    gt_ind = rng.integers(0, K, size=(N, R)).astype(np.int32)
+    np.put_along_axis(opt_inds, gt_ind[..., None], ans_rows[..., None], axis=2)
+    cap, cap_len = rand_tokens((N,), Lc, lo=3)
+    img = rng.standard_normal((N, cfg.img_feat_size)).astype(np.float32)
+    split = VisDialSplit(
+        ques=ques, ques_len=ques_len, ans=ans, ans_len=ans_len,
+        cap=cap, cap_len=cap_len, opt_list=opt_list,
+        opt_list_len=opt_list_len, opt_inds=opt_inds, gt_ind=gt_ind,
+        img_feat=img, img_ids=np.arange(N, dtype=np.int64),
+    ).validate()
+    return split, vocab
