@@ -127,3 +127,39 @@ def test_vgg16_shapes_and_conversion(tmp_path):
     feats2 = vgg16.apply(params2, vgg16.preprocess(imgs))
     np.testing.assert_allclose(np.asarray(feats["fc7"]),
                                np.asarray(feats2["fc7"]), atol=1e-6)
+
+
+def test_prepro_img_cli_images_npz(tmp_path, prepro_dir):
+    """Feature-extraction CLI end-to-end from a prebaked image array."""
+    import jax
+
+    from visdial_tpu.data.prepro_img import main as img_main
+    from visdial_tpu.models import vgg16
+
+    with np.load(os.path.join(prepro_dir, "visdial_data_val.npz")) as z:
+        n = z["img_ids"].shape[0]
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, size=(n, 224, 224, 3)).astype(np.uint8)
+    np.savez(tmp_path / "images.npz", images=images)
+
+    params = vgg16.init_params(jax.random.PRNGKey(0))
+    flat = {}
+    for name, prm in params.items():
+        flat[f"{name}/w"] = np.asarray(prm["w"])
+        flat[f"{name}/b"] = np.asarray(prm["b"])
+    np.savez(tmp_path / "vgg.npz", **flat)
+
+    img_main([
+        "--split_npz", os.path.join(prepro_dir, "visdial_data_val.npz"),
+        "--weights", str(tmp_path / "vgg.npz"),
+        "--images_npz", str(tmp_path / "images.npz"),
+        "--out", str(tmp_path / "feats.npz"),
+        "--batch_size", "4",
+    ])
+    with np.load(tmp_path / "feats.npz") as z:
+        feats = z["images_val"]
+    assert feats.shape == (n, 4096)
+    assert np.isfinite(feats).all()
+    # tail batch (n=6, bs=4) must not be padded garbage: recompute row n-1
+    direct = vgg16.apply(params, vgg16.preprocess(images[n - 1:n]))["fc7"]
+    np.testing.assert_allclose(feats[n - 1], np.asarray(direct)[0], atol=1e-4)
