@@ -203,3 +203,31 @@ def test_gen_candidate_scores_pallas_twin(tiny_data):
     s_x = model_scores(params, batch, cfg, impl="xla")
     s_p = model_scores(params, batch, cfg, impl="pallas")
     np.testing.assert_allclose(np.asarray(s_x), np.asarray(s_p), atol=2e-4)
+
+
+def test_attention_fusion_grads_match():
+    """Grad equivalence for the fused MN/HREA tail's custom VJP (CLAUDE.md
+    convention: every Pallas kernel is value- AND grad-tested)."""
+    from visdial_tpu.ops.attention_pallas import attention_fusion_pallas
+    from visdial_tpu.models.core import linear, linear_init
+
+    H = 16
+    q = jax.random.normal(jax.random.PRNGKey(2), (6, 4, H))
+    s = jax.random.normal(jax.random.PRNGKey(3), (6, 4, H))
+    valid = jnp.broadcast_to(jnp.tril(jnp.ones((4, 4)))[None], (6, 4, 4))
+    fusion = linear_init(jax.random.PRNGKey(4), 2 * H, H)
+
+    def ref_loss(q, s, w, b):
+        mem = masked_slot_attention(q, s, valid, impl="xla")
+        cat = jnp.concatenate([q.reshape(-1, H), mem.reshape(-1, H)], -1)
+        return jnp.sum(jnp.tanh(linear({"w": w, "b": b}, cat)) ** 2)
+
+    def fused_loss(q, s, w, b):
+        return jnp.sum(attention_fusion_pallas(q, s, valid, w, b) ** 2)
+
+    g_ref = jax.grad(ref_loss, argnums=(0, 1, 2, 3))(
+        q, s, fusion["w"], fusion["b"])
+    g_fus = jax.grad(fused_loss, argnums=(0, 1, 2, 3))(
+        q, s, fusion["w"], fusion["b"])
+    for a, b in zip(g_ref, g_fus):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

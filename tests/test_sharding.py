@@ -25,7 +25,7 @@ def setup():
     cfg = cfg.replace(vocab_size=vocab.size)
     asm = BatchAssembler(split, vocab, cfg)
     batch = asm.assemble(np.arange(8)).as_dict()
-    return cfg, batch
+    return cfg, batch, split
 
 
 def test_eight_devices_available():
@@ -34,7 +34,7 @@ def test_eight_devices_available():
 
 
 def test_sharded_train_step_matches_single_device(setup):
-    cfg, batch = setup
+    cfg, batch, _ = setup
     mesh8 = make_mesh(data=8, model=1)
     mesh1 = make_mesh(data=1, model=1, devices=jax.devices()[:1])
 
@@ -53,7 +53,7 @@ def test_sharded_train_step_matches_single_device(setup):
 
 
 def test_sharded_eval_matches_single_device(setup):
-    cfg, batch = setup
+    cfg, batch, _ = setup
     mesh8 = make_mesh(data=8, model=1)
     mesh1 = make_mesh(data=1, model=1, devices=jax.devices()[:1])
     state = init_train_state(cfg)
@@ -63,7 +63,7 @@ def test_sharded_eval_matches_single_device(setup):
 
 
 def test_batch_sharding_layout(setup):
-    cfg, batch = setup
+    cfg, batch, _ = setup
     mesh8 = make_mesh(data=8, model=1)
     sharded = shard_batch(batch, mesh8)
     for k, v in sharded.items():
@@ -78,7 +78,7 @@ def test_table_eval_matches_direct_on_mesh(setup):
     from visdial_tpu.data.synthetic import make_synthetic_split
     from visdial_tpu.parallel.train_step import make_disc_table_eval_fns
 
-    cfg, batch = setup
+    cfg, batch, _ = setup
     split, vocab = make_synthetic_split(
         small_config(encoder="lf-ques-im-hist", decoder="disc", batch_size=8),
         num_dialogs=8, seed=3)

@@ -169,7 +169,6 @@ def make_random_split(cfg: Config, num_dialogs: int,
     rehearsals, not learnability (use make_synthetic_split for that)."""
     rng = np.random.default_rng(seed)
     vocab = synthetic_vocab(num_words=8800)
-    cfg = cfg
     N, R, K = num_dialogs, cfg.num_rounds, cfg.num_options
     Lq, La, Lc = cfg.max_ques_len, cfg.max_ans_len, cfg.max_cap_len
     W = vocab.size - 1 - 3

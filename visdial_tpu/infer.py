@@ -33,10 +33,7 @@ from .data.dataset import VisDialSplit, Vocabulary, load_split
 from .data.loader import BatchAssembler
 from .data.prepro import tokenize
 from .data.synthetic import make_synthetic_split
-from .models.model import (
-    model_generate,
-    model_option_table,
-)
+from .models.model import _impl, model_generate, model_option_table
 from .models.encoders import encoder_apply
 from .utils.checkpoint import load_checkpoint
 from .utils.platform import apply_platform_env
@@ -62,9 +59,11 @@ class InferenceEngine:
         self.opt_list = data.opt_list
         self.opt_list_len = data.opt_list_len
         self._template = data           # shapes/feature-dim template
+        impl = _impl(cfg)               # same fused-path choice as model.py
         self._encode_jit = jax.jit(
             lambda params, batch: encoder_apply(
-                params["encoder"], params["embed"], batch, cfg, train=False))
+                params["encoder"], params["embed"], batch, cfg,
+                train=False, impl=impl))
         if cfg.decoder == "disc":
             table = model_option_table(self.params, jnp.asarray(data.opt_list),
                                        cfg)
@@ -85,7 +84,9 @@ class InferenceEngine:
                        img_feat=None) -> tuple[VisDialSplit, int]:
         cfg, v = self.cfg, self.vocab
         R = cfg.num_rounds
-        history = list(history or [])[: R - 1]
+        # keep the MOST RECENT turns when the dialog exceeds the model's
+        # round budget — the current question refers to recent context
+        history = list(history or [])[-(R - 1):]
         t = len(history)                       # current round index
         ques = np.zeros((1, R, cfg.max_ques_len), np.int32)
         ques_len = np.zeros((1, R), np.int32)
@@ -112,19 +113,18 @@ class InferenceEngine:
         )
         return split, t
 
-    def _joint(self, caption, history, question, img_feat):
+    def _batch(self, caption, history, question, img_feat):
         split, t = self._encode_dialog(caption, history, question, img_feat)
         asm = BatchAssembler(split, self.vocab, self.cfg)
-        batch = asm.assemble(np.array([0]), with_options=False).as_dict()
-        joint = self._encode_jit(self.params, batch)       # (R, H)
-        return joint, batch, t
+        return asm.assemble(np.array([0]), with_options=False).as_dict(), t
 
     # -- public API -------------------------------------------------------
     def rank_answers(self, question: str, caption: str = "", history=None,
                      img_feat=None, top_k: int = 5) -> list[dict]:
         """Top-k answers from the whole pool with scores (disc decoder)."""
         assert self.cfg.decoder == "disc"
-        joint, _, t = self._joint(caption, history, question, img_feat)
+        batch, t = self._batch(caption, history, question, img_feat)
+        joint = self._encode_jit(self.params, batch)       # (R, H)
         scores = np.asarray(self._rank_jit(joint[t:t + 1], self._table))[0]
         top = np.argsort(-scores)[:top_k]
         return [{"answer": " ".join(self.vocab.decode(self.opt_list[i])),
@@ -134,9 +134,7 @@ class InferenceEngine:
                         img_feat=None, beam_size: int = 0) -> dict:
         """Free-form decoded answer (gen decoder)."""
         assert self.cfg.decoder == "gen"
-        split, t = self._encode_dialog(caption, history, question, img_feat)
-        asm = BatchAssembler(split, self.vocab, self.cfg)
-        batch = asm.assemble(np.array([0]), with_options=False).as_dict()
+        batch, t = self._batch(caption, history, question, img_feat)
         toks, logp = self._gen_jit(self.params, batch, int(beam_size))
         return {"answer": " ".join(self.vocab.decode(np.asarray(toks)[0, t])),
                 "log_prob": float(np.asarray(logp)[0, t])}
@@ -161,17 +159,19 @@ def main(argv=None) -> None:
         line = line.strip()
         if not line:
             continue
-        q = json.loads(line)
-        if engine.cfg.decoder == "disc":
-            out = engine.rank_answers(
-                q["question"], q.get("caption", ""), q.get("history"),
-                q.get("img_feat"), top_k=args.top_k)
-            print(json.dumps({"answers": out}), flush=True)
-        else:
-            out = engine.generate_answer(
-                q["question"], q.get("caption", ""), q.get("history"),
-                q.get("img_feat"), beam_size=args.beam_size)
-            print(json.dumps(out), flush=True)
+        try:  # one bad request -> one error line, never a dead server
+            q = json.loads(line)
+            if engine.cfg.decoder == "disc":
+                out = {"answers": engine.rank_answers(
+                    q["question"], q.get("caption", ""), q.get("history"),
+                    q.get("img_feat"), top_k=args.top_k)}
+            else:
+                out = engine.generate_answer(
+                    q["question"], q.get("caption", ""), q.get("history"),
+                    q.get("img_feat"), beam_size=args.beam_size)
+        except Exception as e:
+            out = {"error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

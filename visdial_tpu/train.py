@@ -134,40 +134,50 @@ def main(argv=None) -> dict:
                 jax.profiler.stop_trace()
             # Keep losses as device scalars between log points: a per-step
             # float() readback would sync host<->device every step and gate
-            # dispatch of the next one.
+            # dispatch of the next one.  flush_losses() also runs before
+            # every checkpoint/eval so a NaN can never reach a saved
+            # checkpoint unnoticed (failure detection, SURVEY.md §5: the
+            # latest good checkpoint + deterministic resume is recovery).
             loss_buf.append(m["loss"])
-            if step % cfg.log_every == 0 or step >= max_steps:
+
+            def flush_losses():
+                nonlocal running
+                if not loss_buf:
+                    return None
                 losses = [float(np.asarray(x)) for x in loss_buf]
                 loss_buf.clear()
                 for loss in losses:
                     running = (loss if running is None
                                else 0.95 * running + 0.05 * loss)
-                if not np.isfinite(losses[-1]):
-                    # failure detection (SURVEY.md §5): stop before the
-                    # divergence propagates into the next checkpoint; the
-                    # latest good checkpoint + deterministic resume is the
-                    # recovery path.
+                bad = [x for x in losses if not np.isfinite(x)]
+                if bad:
                     log.log({"event": "non_finite_loss", "step": step,
-                             "loss": losses[-1]})
+                             "loss": bad[0]})
                     raise FloatingPointError(
-                        f"non-finite loss {losses[-1]} at step {step}; "
+                        f"non-finite loss {bad[0]} by step {step}; "
                         "re-run with --debug_nans to locate the origin")
+                return losses[-1]
+
+            if step % cfg.log_every == 0 or step >= max_steps:
+                last_loss = flush_losses()
                 dt = time.time() - t_last
                 rps = (step - s_last) * rounds_per_batch / max(dt, 1e-9)
                 log.log({"event": "train", "step": step, "epoch": epoch,
-                         "loss": losses[-1], "running_loss": running,
+                         "loss": last_loss, "running_loss": running,
                          "lr": float(np.asarray(m["lr"])),
                          "grad_norm": float(np.asarray(m["grad_norm"])),
                          "rounds_per_sec": rps,
                          "rounds_per_sec_per_chip": rps / len(jax.devices())})
                 t_last, s_last = time.time(), step
             if step % eval_every == 0 or step >= max_steps:
+                flush_losses()
                 metrics = evaluate_split(state.params, val_data, vocab, cfg,
                                          mesh, eval_fn=eval_fn,
                                          table_fns=table_fns)
                 last_eval = metrics
                 log.log({"event": "eval", "step": step, **metrics})
             if step % save_every == 0 or step >= max_steps:
+                flush_losses()   # never checkpoint past an undetected NaN
                 path = save_checkpoint(ckpt_dir, state, cfg)
                 log.log({"event": "checkpoint", "step": step, "path": path})
             if step >= max_steps:
