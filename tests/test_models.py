@@ -224,3 +224,30 @@ def test_disc_table_scoring_matches_direct(tiny_data):
     via_table = model_scores_with_table(params, batch, table, cfg, impl="xla")
     np.testing.assert_allclose(np.asarray(direct), np.asarray(via_table),
                                atol=1e-5)
+
+
+def test_remat_grads_match(tiny_data):
+    """cfg.remat (jax.checkpoint around the encoder) must not change loss
+    or gradients — only the memory/compute trade."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from visdial_tpu.data.loader import BatchAssembler
+    from visdial_tpu.models.model import model_init, model_loss
+
+    split, vocab, cfg = tiny_data
+    cfg = cfg.replace(encoder="mn-ques-im-hist", decoder="disc")
+    params = model_init(jax.random.PRNGKey(0), cfg)
+    batch = BatchAssembler(split, vocab, cfg).assemble(
+        np.arange(4)).as_dict()
+
+    def loss(p, c):
+        return model_loss(p, batch, c, train=True,
+                          rng=jax.random.PRNGKey(1), impl="xla")
+
+    l0, g0 = jax.value_and_grad(loss)(params, cfg)
+    l1, g1 = jax.value_and_grad(loss)(params, cfg.replace(remat=True))
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -95,6 +95,10 @@ class Config:
     prng_impl: str = "rbg"       # rbg (TPU-native, faster dropout masks) |
                                  # threefry2x32 (JAX default, fully stable
                                  # across backends); applied by the CLIs
+    remat: bool = False          # jax.checkpoint the encoder in the loss:
+                                 # trades ~1 extra encoder forward for not
+                                 # storing its activations — enables much
+                                 # larger batches / longer histories
     mesh_data: int = -1          # data-parallel axis size; -1 = all devices
     mesh_model: int = 1          # model axis (reserved, size 1 for this workload)
 

@@ -50,8 +50,17 @@ def model_loss(params, batch, cfg: Config, *, train=True, rng=None,
     enc_rng = dec_rng = None
     if rng is not None:
         enc_rng, dec_rng = jax.random.split(rng)
-    joint = encoder_apply(params["encoder"], params["embed"], batch, cfg,
-                          train=train, rng=enc_rng, impl=impl)
+
+    def encode(enc_params, embed_params, batch):
+        return encoder_apply(enc_params, embed_params, batch, cfg,
+                             train=train, rng=enc_rng, impl=impl)
+
+    if cfg.remat and train:
+        # Rematerialize the encoder in the backward pass instead of storing
+        # its activations (jax.checkpoint): ~1 extra encoder forward buys
+        # headroom for much larger batches / longer histories.
+        encode = jax.checkpoint(encode)
+    joint = encode(params["encoder"], params["embed"], batch)
     if cfg.decoder == "gen":
         return gen_loss(params["decoder"], params["embed"], joint, batch, cfg,
                         train=train, rng=dec_rng, impl=impl)
