@@ -36,3 +36,15 @@ def test_retrieval_metrics_known():
     assert np.isclose(m["r@10"], 0.8)
     assert np.isclose(m["mean_rank"], ranks.mean())
     assert m["num_examples"] == 5
+
+
+def test_tie_conventions():
+    import numpy as np
+
+    from visdial_tpu.utils.metrics import ranks_from_scores
+
+    scores = np.array([[3.0, 5.0, 5.0, 1.0, 5.0]])
+    gt = np.array([1])  # tied with two others at 5.0, none higher
+    assert int(ranks_from_scores(scores, gt, "optimistic")[0]) == 1
+    assert int(ranks_from_scores(scores, gt, "pessimistic")[0]) == 3
+    assert float(ranks_from_scores(scores, gt, "mean")[0]) == 2.0

@@ -95,6 +95,10 @@ class Config:
     prng_impl: str = "rbg"       # rbg (TPU-native, faster dropout masks) |
                                  # threefry2x32 (JAX default, fully stable
                                  # across backends); applied by the CLIs
+    gen_score_length_norm: bool = False
+                                 # divide gen candidate scores by token
+                                 # count (reference behavior is sum,
+                                 # SURVEY.md [P]; flag aids parity tuning)
     remat: bool = False          # jax.checkpoint the encoder in the loss:
                                  # trades ~1 extra encoder forward for not
                                  # storing its activations — enables much

@@ -24,7 +24,8 @@ from .utils.metrics import ranks_from_scores, retrieval_metrics
 
 def evaluate_split(params, data: VisDialSplit, vocab: Vocabulary,
                    cfg: Config, mesh, eval_fn=None, table_fns=None,
-                   batch_size: int | None = None) -> dict:
+                   batch_size: int | None = None,
+                   ties: str = "optimistic") -> dict:
     """Score all candidates over a split and compute retrieval metrics.
 
     Disc decoder takes the table fast path: the dedup'd option list is
@@ -56,7 +57,7 @@ def evaluate_split(params, data: VisDialSplit, vocab: Vocabulary,
     for batch in loader:
         scores = score(shard_batch(batch.as_dict(), mesh))
         ranks = np.asarray(ranks_from_scores(np.asarray(scores),
-                                             batch.gt_ind))
+                                             batch.gt_ind, ties=ties))
         keep = batch.dialog_valid.astype(bool)
         all_ranks.append(ranks[keep].reshape(-1))
         n_rounds += int(keep.sum()) * cfg.num_rounds

@@ -30,6 +30,9 @@ def main(argv=None) -> dict:
     p.add_argument("--split", type=str, default="val")
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--batch_size", type=int, default=0)
+    p.add_argument("--ties", type=str, default="optimistic",
+                   choices=("optimistic", "pessimistic", "mean"),
+                   help="rank convention for score ties (parity probing)")
     args = p.parse_args(argv)
 
     state, cfg, _ = load_checkpoint(args.load_path)
@@ -44,7 +47,8 @@ def main(argv=None) -> dict:
 
     mesh = make_mesh(cfg.mesh_data, cfg.mesh_model)
     metrics = evaluate_split(state.params, data, vocab, cfg, mesh,
-                             batch_size=args.batch_size or None)
+                             batch_size=args.batch_size or None,
+                             ties=args.ties)
     print(json.dumps({"model": f"{cfg.encoder}-{cfg.decoder}",
                       "split": args.split, **metrics}))
     return metrics

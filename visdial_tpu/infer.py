@@ -28,8 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import Config
-from .data.dataset import VisDialSplit, Vocabulary, load_split
+from .data.dataset import VisDialSplit, load_split
 from .data.loader import BatchAssembler
 from .data.prepro import tokenize
 from .data.synthetic import make_synthetic_split

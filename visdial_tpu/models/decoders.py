@@ -90,6 +90,15 @@ def gen_loss(params, embed_params, joint, batch, cfg: Config,
 SCORE_CHUNK_ROWS = 8192  # candidate rows scored per lax.map step
 
 
+def _maybe_length_norm(scores, targets, cfg: Config):
+    """Optional per-token normalization of summed candidate log-probs
+    (cfg.gen_score_length_norm; the behavior of record is the raw sum)."""
+    if not cfg.gen_score_length_norm:
+        return scores
+    n_tok = jnp.maximum(jnp.sum((targets != 0), axis=-1), 1)
+    return scores / n_tok
+
+
 def gen_candidate_scores(params, embed_params, joint, opt_in, opt_out,
                          cfg: Config, *, impl="xla"):
     """Sum of token log-probs per candidate (reference: evaluate.lua gen
@@ -122,7 +131,8 @@ def gen_candidate_scores(params, embed_params, joint, opt_in, opt_out,
             outs.reshape(rows * T, -1),
             params["out_proj"]["w"], params["out_proj"]["b"],
             tgt.reshape(rows * T)).reshape(rows, T)
-        return jnp.sum(tok_lp * (tgt != 0), axis=-1).reshape(N, K)
+        s = jnp.sum(tok_lp * (tgt != 0), axis=-1)
+        return _maybe_length_norm(s, tgt, cfg).reshape(N, K)
 
     C = min(SCORE_CHUNK_ROWS, rows)
     pad = -rows % C
@@ -137,7 +147,8 @@ def gen_candidate_scores(params, embed_params, joint, opt_in, opt_out,
         tgt_logit = jnp.take_along_axis(
             logits, tgt_c[..., None], axis=-1)[..., 0]
         lp = tgt_logit - lse
-        return jnp.sum(lp * (tgt_c != 0), axis=-1)            # (C,)
+        s = jnp.sum(lp * (tgt_c != 0), axis=-1)               # (C,)
+        return _maybe_length_norm(s, tgt_c, cfg)
 
     n_chunks = (rows + pad) // C
     scores = jax.lax.map(

@@ -16,21 +16,36 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def ranks_from_scores(scores, gt_index):
+def ranks_from_scores(scores, gt_index, ties: str = "optimistic"):
     """Rank of the ground-truth candidate per row.
 
     Args:
       scores: (..., K) float — higher is better.
       gt_index: (...,) int — index of the ground-truth candidate in [0, K).
+      ties: how candidates scoring EXACTLY equal to the ground truth count
+        (the reference's sort-order behavior is unverifiable — SURVEY.md
+        §3.2; 'optimistic' is the behavior of record, the others exist for
+        parity re-verification against real reference numbers):
+          'optimistic'  — ties do not push the GT down (default)
+          'pessimistic' — every tie outranks the GT
+          'mean'        — ties share the average of their rank range
+                          (fractional ranks)
 
     Returns:
-      (...,) int32 ranks in [1, K].
+      (...,) ranks in [1, K]; int32, or float32 for ties='mean'.
     """
     scores = jnp.asarray(scores)
     gt_index = jnp.asarray(gt_index)
     gt_score = jnp.take_along_axis(scores, gt_index[..., None], axis=-1)
     higher = jnp.sum((scores > gt_score).astype(jnp.int32), axis=-1)
-    return higher + 1
+    if ties == "optimistic":
+        return higher + 1
+    equal = jnp.sum((scores == gt_score).astype(jnp.int32), axis=-1) - 1
+    if ties == "pessimistic":
+        return higher + equal + 1
+    if ties == "mean":
+        return higher.astype(jnp.float32) + equal.astype(jnp.float32) / 2 + 1
+    raise ValueError(f"unknown ties convention {ties!r}")
 
 
 def retrieval_metrics(ranks) -> dict[str, float]:
