@@ -58,6 +58,7 @@ def data():
 
 def test_hist_concat_assembly(data):
     split, vocab, cfg = data
+    cfg = cfg.replace(lf_hist_incremental=False)   # legacy per-round path
     asm = BatchAssembler(split, vocab, cfg)
     b = asm.assemble(np.array([0, 1]))
     Lh = cfg.max_hist_concat_len
@@ -76,6 +77,28 @@ def test_hist_concat_assembly(data):
     expected = np.concatenate(parts)
     got = b.hist_concat[0, 2]
     np.testing.assert_array_equal(got[Lh - len(expected) :], expected)
+
+
+def test_hist_flat_assembly(data):
+    """Incremental LF history: flat concat + prefix bounds line up with the
+    per-round content."""
+    split, vocab, cfg = data
+    asm = BatchAssembler(split, vocab, cfg)   # lf_hist_incremental default
+    b = asm.assemble(np.array([0, 1]))
+    assert b.hist_concat is None
+    Lh = cfg.max_hist_concat_len
+    assert b.hist_flat.shape == (2, Lh)
+    assert b.hist_bounds.shape == (2, cfg.num_rounds)
+    # round r's prefix == caption + QA_0..QA_{r-1}
+    parts = [split.cap[0, : split.cap_len[0]]]
+    for r in range(cfg.num_rounds):
+        expected = np.concatenate(parts) if parts else np.zeros(0, np.int32)
+        n = b.hist_bounds[0, r]
+        assert n == len(expected)
+        np.testing.assert_array_equal(b.hist_flat[0, :n], expected)
+        parts.append(split.ques[0, r, : split.ques_len[0, r]])
+        parts.append(split.ans[0, r, : split.ans_len[0, r]])
+    assert (b.hist_flat[0, b.hist_bounds[0, -1]:] == 0).all()
 
 
 def test_facts_assembly(data):

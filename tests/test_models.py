@@ -251,3 +251,34 @@ def test_remat_grads_match(tiny_data):
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_lf_incremental_history_matches_per_round(tiny_data):
+    """The one-pass LF history (prefix-boundary readout) must equal the
+    legacy per-round right-aligned re-encoding exactly (causal LSTM)."""
+    import jax
+    import numpy as np
+
+    from visdial_tpu.data.loader import BatchAssembler
+    from visdial_tpu.models.core import embedding_init
+    from visdial_tpu.models.encoders import encoder_apply, encoder_init
+
+    split, vocab, cfg0 = tiny_data
+    cfg_inc = cfg0.replace(encoder="lf-ques-im-hist", decoder="disc",
+                           lf_hist_incremental=True)
+    cfg_old = cfg_inc.replace(lf_hist_incremental=False)
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    emb = embedding_init(k1, cfg_inc.vocab_size, cfg_inc.embed_size)
+    enc = encoder_init(k2, cfg_inc)
+    idx = np.arange(6)
+    b_inc = BatchAssembler(split, vocab, cfg_inc).assemble(
+        idx, with_options=False).as_dict()
+    b_old = BatchAssembler(split, vocab, cfg_old).assemble(
+        idx, with_options=False).as_dict()
+    assert "hist_flat" in b_inc and "hist_concat" in b_old
+
+    j_inc = encoder_apply(enc, emb, b_inc, cfg_inc, train=False, impl="xla")
+    j_old = encoder_apply(enc, emb, b_old, cfg_old, train=False, impl="xla")
+    np.testing.assert_allclose(np.asarray(j_inc), np.asarray(j_old),
+                               atol=1e-5)

@@ -99,6 +99,11 @@ class Config:
                                  # divide gen candidate scores by token
                                  # count (reference behavior is sum,
                                  # SURVEY.md [P]; flag aids parity tuning)
+    lf_hist_incremental: bool = True
+                                 # LF history as ONE left-aligned LSTM pass
+                                 # with per-round boundary readouts (exactly
+                                 # equivalent to per-round re-encoding, ~10x
+                                 # fewer token-steps); False = legacy path
     remat: bool = False          # jax.checkpoint the encoder in the loss:
                                  # trades ~1 extra encoder forward for not
                                  # storing its activations — enables much

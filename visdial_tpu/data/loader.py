@@ -84,7 +84,12 @@ class Batch:
 
     Fields are None when the encoder/decoder combination doesn't need them.
       ques        (B, R, Lq)       right-aligned question tokens
-      hist_concat (B, R, Lh)       right-aligned concatenated history (LF)
+      hist_concat (B, R, Lh)       right-aligned concatenated history (LF,
+                                   per-round legacy path)
+      hist_flat   (B, Lh)          left-aligned full-dialog concat (LF
+                                   incremental path: one LSTM pass, states
+                                   read at hist_bounds)
+      hist_bounds (B, R)           tokens visible to each round
       facts       (B, R, Lf)       right-aligned per-dialog facts (HRE/MN);
                                    slot 0 = caption, slot j = QA_j
       fact_len    (B, R)
@@ -105,6 +110,8 @@ class Batch:
     gt_ind: np.ndarray
     dialog_valid: np.ndarray
     hist_concat: np.ndarray | None = None
+    hist_flat: np.ndarray | None = None
+    hist_bounds: np.ndarray | None = None
     facts: np.ndarray | None = None
     fact_len: np.ndarray | None = None
     img: np.ndarray | None = None
@@ -164,6 +171,40 @@ class BatchAssembler:
             self.img_feat = data.img_feat.astype(np.float32)
 
     # -- history --------------------------------------------------------
+    def _hist_flat(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Single LEFT-aligned concat per dialog + per-round prefix lengths.
+
+        LF's per-round histories are prefixes of one sequence (caption +
+        QA_1 + ... ).  An LSTM is causal and (with zero init) the state
+        after a right-aligned prefix equals the state at that boundary of
+        the left-aligned full sequence — so ONE LSTM pass over (B, Lh) plus
+        boundary readouts replaces R passes over (B*R, Lh): ~10x fewer
+        token-steps than the reference's per-round re-encoding.
+        Returns (flat (B, Lh), bounds (B, R)) where bounds[b, r] = number of
+        tokens visible to round r (state index bounds-1).
+        """
+        d, cfg = self.data, self.cfg
+        B, R = len(idx), cfg.num_rounds
+        Lh = cfg.max_hist_concat_len
+        out = np.zeros((B, Lh), np.int32)
+        bounds = np.zeros((B, R), np.int32)
+        cap, cap_len = d.cap[idx], d.cap_len[idx]
+        ques, ques_len = d.ques[idx], d.ques_len[idx]
+        ans, ans_len = d.ans[idx], d.ans_len[idx]
+        for b in range(B):
+            n = int(cap_len[b])
+            out[b, :n] = cap[b, :n]
+            for r in range(R):
+                bounds[b, r] = n
+                if r == R - 1:
+                    break   # no round consumes QA_{R-1}; Lh excludes it
+                ql, al = int(ques_len[b, r]), int(ans_len[b, r])
+                out[b, n:n + ql] = ques[b, r, :ql]
+                n += ql
+                out[b, n:n + al] = ans[b, r, :al]
+                n += al
+        return out, bounds
+
     def _hist_concat(self, idx: np.ndarray) -> np.ndarray:
         """Concatenated history per round: caption + QA_1..QA_{t-1},
         right-aligned to the full static width (Config.max_hist_concat_len
@@ -241,7 +282,10 @@ class BatchAssembler:
                       dialog_valid=valid)
 
         if self.need_concat:
-            batch.hist_concat = self._hist_concat(idx)
+            if cfg.lf_hist_incremental:
+                batch.hist_flat, batch.hist_bounds = self._hist_flat(idx)
+            else:
+                batch.hist_concat = self._hist_concat(idx)
         if self.need_facts:
             batch.facts, batch.fact_len = self._facts(idx)
         if self.need_img:

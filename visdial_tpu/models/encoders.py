@@ -125,9 +125,28 @@ def encoder_apply(
     if fam == "lf":
         parts = [q]
         if use_hist:
-            h = _run_lstm(params["hist_lstm"], embed_params,
-                          _flatten_rounds(batch["hist_concat"]), cfg, train,
-                          next(rngs), impl)
+            if "hist_flat" in batch:
+                # Incremental path: ONE LSTM pass over the full left-aligned
+                # dialog; round r's history state = the state at its prefix
+                # boundary (causal LSTM => identical to re-encoding each
+                # right-aligned prefix, ~10x fewer token-steps).
+                flat = batch["hist_flat"]                     # (B, Lh)
+                vecs = embed(embed_params, flat).astype(_dt(cfg))
+                mask = (flat != 0).astype(vecs.dtype)
+                outs, _ = masked_lstm(
+                    params["hist_lstm"], vecs, mask, impl=impl,
+                    dropout_rng=next(rngs),
+                    dropout_rate=cfg.dropout if train else 0.0)
+                bounds = batch["hist_bounds"]                 # (B, R)
+                idx = jnp.clip(bounds - 1, 0, outs.shape[1] - 1)
+                h = jnp.take_along_axis(
+                    outs, idx[..., None].astype(jnp.int32), axis=1)
+                h = jnp.where((bounds > 0)[..., None], h, 0.0)
+                h = h.reshape(B * R, -1).astype(q.dtype)
+            else:
+                h = _run_lstm(params["hist_lstm"], embed_params,
+                              _flatten_rounds(batch["hist_concat"]), cfg,
+                              train, next(rngs), impl)
             parts.append(h)
         if use_img:
             img = linear(params["img_proj"],
