@@ -11,8 +11,8 @@ from visdial_tpu.utils.checkpoint import save_checkpoint
 from conftest import small_config
 
 
-def _checkpoint(tmp_path, decoder):
-    cfg = small_config(encoder="mn-ques-im-hist", decoder=decoder)
+def _checkpoint(tmp_path, decoder, encoder="mn-ques-im-hist"):
+    cfg = small_config(encoder=encoder, decoder=decoder)
     _, vocab = make_synthetic_split(cfg, num_dialogs=4, seed=0)
     cfg = cfg.replace(vocab_size=vocab.size)
     state = init_train_state(cfg)
@@ -43,3 +43,17 @@ def test_generate_answer_gen(tmp_path):
     beam = eng.generate_answer("w002 w001", caption="w003", beam_size=3)
     # a width-3 beam can only match or beat greedy
     assert beam["log_prob"] >= greedy["log_prob"] - 1e-4
+
+
+def test_rank_answers_lf_incremental_history(tmp_path):
+    """LF checkpoints serve through the incremental-history path."""
+    path = _checkpoint(tmp_path, "disc", encoder="lf-ques-im-hist")
+    eng = InferenceEngine(path, synthetic=8)
+    out = eng.rank_answers("w002 w001", caption="w003 w004",
+                           history=[("w001", "w002"), ("w005", "w006")],
+                           top_k=3)
+    assert len(out) == 3
+    # history must influence the scores (same question, different history)
+    out2 = eng.rank_answers("w002 w001", caption="w003 w004",
+                            history=[("w010", "w011")], top_k=3)
+    assert ([o["score"] for o in out] != [o["score"] for o in out2])
