@@ -92,7 +92,7 @@ def test_hist_flat_assembly(data):
     # round r's prefix == caption + QA_0..QA_{r-1}
     parts = [split.cap[0, : split.cap_len[0]]]
     for r in range(cfg.num_rounds):
-        expected = np.concatenate(parts) if parts else np.zeros(0, np.int32)
+        expected = np.concatenate(parts)
         n = b.hist_bounds[0, r]
         assert n == len(expected)
         np.testing.assert_array_equal(b.hist_flat[0, :n], expected)

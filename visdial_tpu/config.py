@@ -101,9 +101,14 @@ class Config:
                                  # SURVEY.md [P]; flag aids parity tuning)
     lf_hist_incremental: bool = True
                                  # LF history as ONE left-aligned LSTM pass
-                                 # with per-round boundary readouts (exactly
-                                 # equivalent to per-round re-encoding, ~10x
-                                 # fewer token-steps); False = legacy path
+                                 # with per-round boundary readouts: the
+                                 # deterministic computation is exactly
+                                 # equivalent to per-round re-encoding with
+                                 # ~10x fewer token-steps.  NOTE: at train
+                                 # time the inter-layer dropout mask is
+                                 # shared across a dialog's rounds (the
+                                 # legacy path draws one per round); set
+                                 # False for reference-exact noise sampling
     remat: bool = False          # jax.checkpoint the encoder in the loss:
                                  # trades ~1 extra encoder forward for not
                                  # storing its activations — enables much

@@ -182,6 +182,9 @@ class BatchAssembler:
         token-steps than the reference's per-round re-encoding.
         Returns (flat (B, Lh), bounds (B, R)) where bounds[b, r] = number of
         tokens visible to round r (state index bounds-1).
+
+        Stays in numpy (no C++ twin): measured 1.5 ms/batch at flagship
+        shapes vs an ~88 ms device step — 50x headroom, not a hot path.
         """
         d, cfg = self.data, self.cfg
         B, R = len(idx), cfg.num_rounds

@@ -140,9 +140,15 @@ def random_batch(cfg: Config, seed: int = 0, batch_size: int | None = None,
     ans_out = np.concatenate([ans, np.full((B, R, 1), end, np.int32)], axis=-1)
     opt_in = np.concatenate([np.full((B, R, K, 1), start, np.int32), opt], axis=-1)
     opt_out = np.concatenate([opt, np.full((B, R, K, 1), end, np.int32)], axis=-1)
+    Lh = cfg.max_hist_concat_len
+    # evenly spaced prefix boundaries for the incremental LF history path
+    bounds = np.minimum(
+        cfg.max_cap_len + np.arange(R) * (Lq + La), Lh).astype(np.int32)
     batch = {
         "ques": toks(B, R, Lq),
         "hist_concat": toks(B, R, cfg.max_hist_concat_len),
+        "hist_flat": toks(B, Lh),
+        "hist_bounds": np.broadcast_to(bounds, (B, R)).copy(),
         "facts": toks(B, R, cfg.max_fact_len),
         "fact_len": np.full((B, R), cfg.max_fact_len, np.int32),
         "img": rng.standard_normal((B, cfg.img_feat_size)).astype(np.float32),

@@ -30,6 +30,10 @@ def main(argv=None) -> dict:
     p.add_argument("--split", type=str, default="val")
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--batch_size", type=int, default=0)
+    p.add_argument("--length_norm", type=str, default="",
+                   choices=("", "0", "1"),
+                   help="override gen_score_length_norm from the checkpoint "
+                        "(parity probing; '' keeps the saved value)")
     p.add_argument("--ties", type=str, default="optimistic",
                    choices=("optimistic", "pessimistic", "mean"),
                    help="rank convention for score ties (parity probing)")
@@ -38,6 +42,8 @@ def main(argv=None) -> dict:
     state, cfg, _ = load_checkpoint(args.load_path)
     if args.data_dir:
         cfg = cfg.replace(data_dir=args.data_dir)
+    if args.length_norm:
+        cfg = cfg.replace(gen_score_length_norm=args.length_norm == "1")
     if args.synthetic:
         data, vocab = make_synthetic_split(cfg, num_dialogs=args.synthetic,
                                            seed=cfg.seed + 1)
