@@ -155,6 +155,23 @@ class Vocabulary:
 
 
 def load_split(data_dir: str, split: str) -> tuple[VisDialSplit, Vocabulary]:
-    data = VisDialSplit.load(os.path.join(data_dir, f"visdial_data_{split}.npz"))
+    """Load a split from data_dir.
+
+    Accepts either artifact family found there:
+      * native npz/json (written by our prepro / ingest_h5 CLI), or
+      * the reference's visdial_data.h5 + visdial_params.json + data_img.h5
+        (reference: data/prepro.py + data/prepro_img.lua writers) — so
+        reference-produced data works with no conversion step.
+    """
+    npz = os.path.join(data_dir, f"visdial_data_{split}.npz")
+    if not os.path.exists(npz):
+        from .ingest_h5 import (
+            load_split_from_reference_dir,
+            reference_artifacts_present,
+        )
+
+        if reference_artifacts_present(data_dir):
+            return load_split_from_reference_dir(data_dir, split)
+    data = VisDialSplit.load(npz)
     vocab = Vocabulary.load(os.path.join(data_dir, "visdial_params.json"))
     return data, vocab
