@@ -3,6 +3,7 @@ reproduce the unbroken run's parameters exactly (SURVEY.md §5 — resume is
 the recovery story; the reference could not resume at all)."""
 
 import numpy as np
+import pytest
 
 from visdial_tpu.train import main as train_main
 from visdial_tpu.utils.checkpoint import load_checkpoint
@@ -41,3 +42,24 @@ def test_cli_mid_epoch_resume_is_deterministic(tmp_path):
     tree_allclose(p_unbroken, p_resumed, atol=1e-6)
     assert float(np.asarray(
         next(iter(p_unbroken["embed"].values())))[1, 0]) != 0.0
+
+
+def test_resume_with_mismatched_config_fails_loudly(tmp_path):
+    """A resume whose flags disagree with the checkpoint's structural config
+    (architecture, sizes, lr, ...) must abort, not silently train
+    current-flag math against old weights."""
+    root = str(tmp_path)
+    train_main(ARGS + ["--max_steps", "2", "--save_every", "2",
+                       "--save_path", root, "--run_name", "run"])
+    with pytest.raises(SystemExit, match="rnn_hidden_size"):
+        train_main(ARGS + ["--max_steps", "4", "--resume",
+                           "--rnn_hidden_size", "32",
+                           "--save_path", root, "--run_name", "run"])
+    with pytest.raises(SystemExit, match="learning_rate"):
+        train_main(ARGS + ["--max_steps", "4", "--resume",
+                           "--learning_rate", "0.1",
+                           "--save_path", root, "--run_name", "run"])
+    # run-control overrides stay allowed
+    train_main(ARGS + ["--max_steps", "4", "--resume", "--log_every", "1",
+                       "--save_every", "4",
+                       "--save_path", root, "--run_name", "run"])

@@ -34,6 +34,31 @@ ENCODERS = (
 # The reference's two decoders (reference: decoders/gen.lua, decoders/disc.lua).
 DECODERS = ("gen", "disc")
 
+# Config fields a resumed run may override without invalidating the saved
+# training state: run-control, IO, and execution-strategy knobs.  Everything
+# else (architecture, data shapes, optimizer hyperparameters, RNG scheme) is
+# structural — the saved state was produced under it, so a mismatch on
+# resume must fail loudly instead of silently training current-flag math
+# against old weights.
+RESUME_OVERRIDABLE = frozenset({
+    "num_epochs", "use_pallas", "compute_dtype", "remat",
+    "mesh_data", "mesh_model",
+    "data_dir", "save_path", "eval_every", "save_every", "log_every",
+})
+
+
+def resume_config_mismatches(saved: "Config", current: "Config") -> dict:
+    """Structural fields that differ between a checkpoint's config and the
+    current flags: {field: (saved_value, current_value)}."""
+    diffs = {}
+    for f in dataclasses.fields(Config):
+        if f.name in RESUME_OVERRIDABLE:
+            continue
+        a, b = getattr(saved, f.name), getattr(current, f.name)
+        if a != b:
+            diffs[f.name] = (a, b)
+    return diffs
+
 
 def encoder_uses_image(encoder: str) -> bool:
     return "-im" in encoder

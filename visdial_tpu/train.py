@@ -20,7 +20,7 @@ import time
 import jax
 import numpy as np
 
-from .config import Config
+from .config import RESUME_OVERRIDABLE, Config, resume_config_mismatches
 from .data.dataset import load_split
 from .data.loader import TrainLoader
 from .data.synthetic import make_synthetic_split
@@ -30,7 +30,7 @@ from .parallel.train_step import (init_train_state, make_disc_table_eval_fns,
                                   make_eval_fn, make_train_fn)
 from .utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from .utils.logging import MetricsLogger
-from .utils.platform import apply_platform_env
+from .utils.platform import apply_platform_env, profiler_supported
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -50,7 +50,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="resume from the latest checkpoint in save_path")
     p.add_argument("--run_name", type=str, default="")
     p.add_argument("--profile_steps", type=str, default="",
-                   help="'start,stop' step range to capture an xprof trace")
+                   help="'start,stop' step range to capture an xprof trace "
+                        "(refused with a warning on runtimes where tracing "
+                        "hangs, e.g. tunneled TPU — use --time_steps there)")
+    p.add_argument("--time_steps", type=int, default=0,
+                   help="log per-step host-readback wall-clock ('step_time' "
+                        "JSONL events) for the first N steps — the "
+                        "profiler-free timing story; slows training while "
+                        "active (forces a device sync every step)")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans: abort with a traceback the "
                         "step any NaN/Inf appears (the sanitizer story for "
@@ -96,7 +103,15 @@ def main(argv=None) -> dict:
 
     if args.resume and (path := latest_checkpoint(ckpt_dir)):
         state, cfg_saved, _ = load_checkpoint(path)
-        assert cfg_saved.encoder == cfg.encoder
+        if diffs := resume_config_mismatches(cfg_saved, cfg):
+            raise SystemExit(
+                f"--resume config mismatch vs {path}: the checkpoint was "
+                "trained under different structural settings — "
+                + ", ".join(f"{k}: saved={a!r} flag={b!r}"
+                            for k, (a, b) in sorted(diffs.items()))
+                + ". Re-run with matching flags (only "
+                + ", ".join(sorted(RESUME_OVERRIDABLE))
+                + " may differ on resume).")
         log.log({"event": "resumed", "from": path})
     else:
         state = init_train_state(cfg)
@@ -109,6 +124,11 @@ def main(argv=None) -> dict:
 
     prof_range = tuple(int(x) for x in args.profile_steps.split(",")) \
         if args.profile_steps else None
+    if prof_range:
+        ok, reason = profiler_supported()
+        if not ok:
+            log.log({"event": "profile_disabled", "reason": reason})
+            prof_range = None
 
     step = int(np.asarray(state.opt.step))
     t_last, s_last = time.time(), step
@@ -128,8 +148,17 @@ def main(argv=None) -> dict:
             if prof_range and step == prof_range[0]:
                 jax.profiler.start_trace(os.path.join(ckpt_dir, "trace"))
             b = shard_batch(batch.as_dict(), mesh)
+            timing = args.time_steps and step < args.time_steps
+            if timing:
+                t0 = time.time()  # prior step synced by its own readback
             state, m = train_fn(state, b)
             step += 1
+            if timing:
+                # block_until_ready does not block under the tunneled TPU
+                # runtime (CLAUDE.md); a host readback is the reliable sync.
+                loss_now = float(np.asarray(m["loss"]))
+                log.log({"event": "step_time", "step": step,
+                         "seconds": time.time() - t0, "loss": loss_now})
             if prof_range and step == prof_range[1]:
                 jax.profiler.stop_trace()
             # Keep losses as device scalars between log points: a per-step

@@ -27,6 +27,26 @@ def apply_platform_env() -> str:
     return jax.default_backend()
 
 
+def profiler_supported() -> tuple[bool, str]:
+    """Whether jax.profiler tracing is usable on this runtime.
+
+    The experimental 'axon' tunneled TPU runtime hangs inside
+    ``jax.profiler.start_trace`` (measured on this host — CLAUDE.md), so
+    CLIs must refuse to start a trace there instead of deadlocking.
+    Returns (ok, reason-if-not).
+    """
+    try:
+        version = getattr(jax.devices()[0].client, "platform_version", "")
+    except Exception:
+        return True, ""
+    if "axon" in version:
+        name = version.split(";")[0].replace("\n", " ").strip()
+        return False, (
+            f"jax.profiler hangs under the tunneled runtime ({name}); "
+            "use --time_steps for per-step wall-clock instead")
+    return True, ""
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Persistent XLA compilation cache (measured here: a ~140s TPU compile
     replays in ~3s).  Default location is repo-local (gitignored); override
