@@ -77,12 +77,21 @@ def main(argv=None) -> None:
     p.add_argument("--out", required=True)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--save_pool5", action="store_true")
+    p.add_argument("--preprocess", choices=("auto",) + vgg16.WEIGHT_ORIGINS,
+                   default="auto",
+                   help="input normalization; 'auto' follows the origin tag "
+                        "recorded in the weight artifact (torchvision "
+                        "weights need RGB/255+ImageNet-stats, Caffe weights "
+                        "the reference's BGR mean subtraction)")
     args = p.parse_args(argv)
 
     with np.load(args.split_npz) as z:
         img_ids = np.asarray(z["img_ids"])
     N = len(img_ids)
 
+    origin = (vgg16.weight_origin(args.weights) if args.preprocess == "auto"
+              else args.preprocess)
+    print(f"preprocessing mode: {origin}", flush=True)
     params = vgg16.load_params(args.weights)
     fwd = jax.jit(lambda imgs: vgg16.apply(params, imgs))
 
@@ -103,7 +112,7 @@ def main(argv=None) -> None:
     for s in range(0, N, bs):
         idx = range(s, min(s + bs, N))
         raw = np.stack([get(i) for i in idx])
-        batch = vgg16.preprocess(raw)
+        batch = vgg16.preprocess(raw, origin=origin)
         if len(idx) < bs:  # static shapes: pad the tail batch
             batch = np.pad(batch, ((0, bs - len(idx)), (0, 0), (0, 0), (0, 0)))
         feats = fwd(batch)

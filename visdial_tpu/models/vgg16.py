@@ -31,9 +31,17 @@ _CFG = [
 CONV_NAMES = [c[0] for c in _CFG if c != "M"]
 FC_NAMES = ["fc6", "fc7"]
 
-# Caffe-era BGR channel means used by the reference's prepro (documented
-# decision; torchvision-normalized inputs are handled by `preprocess`).
+# Caffe-era BGR channel means used by the reference's prepro
+# (reference: data/prepro_img.lua mean subtraction).
 BGR_MEANS = (103.939, 116.779, 123.68)
+
+# torchvision-era normalization: RGB scaled to [0,1], ImageNet mean/std.
+# VGG-16 weights only produce in-distribution features when paired with the
+# preprocessing they were trained under, so the weight artifact records its
+# origin and `preprocess` is keyed by it.
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+WEIGHT_ORIGINS = ("caffe", "torchvision")
 
 
 def init_params(rng, dtype=jnp.float32) -> dict:
@@ -75,14 +83,20 @@ def load_params(path: str, dtype=jnp.float32) -> dict:
         }
 
 
-def convert_torch_state_dict(state_dict, out_path: str) -> None:
-    """torchvision vgg16 state_dict -> our .npz key/layout convention.
+def convert_torch_state_dict(state_dict, out_path: str,
+                             origin: str = "torchvision") -> None:
+    """torch vgg16 state_dict -> our .npz key/layout convention.
 
     Handles OIHW->HWIO conv transposition and the NCHW->NHWC reordering of
-    the fc6 input dimension.
+    the fc6 input dimension.  The artifact records `origin` so `preprocess`
+    applies the normalization the weights were trained under (torchvision:
+    RGB/255 + ImageNet mean/std; caffe: BGR 0-255 mean subtraction) — pairing
+    torchvision weights with Caffe preprocessing yields silently
+    out-of-distribution features.
     """
+    assert origin in WEIGHT_ORIGINS, origin
     conv_ids = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
-    out = {}
+    out = {"origin": np.asarray(origin)}
     for name, idx in zip(CONV_NAMES, conv_ids):
         w = np.asarray(state_dict[f"features.{idx}.weight"])   # (O, I, H, W)
         out[f"{name}/w"] = w.transpose(2, 3, 1, 0)              # HWIO
@@ -96,11 +110,35 @@ def convert_torch_state_dict(state_dict, out_path: str) -> None:
     np.savez(out_path, **out)
 
 
-def preprocess(images_rgb_uint8: np.ndarray) -> np.ndarray:
-    """(N, 224, 224, 3) RGB uint8 -> Caffe-style BGR float32, mean-subtracted
-    (reference: prepro_img.lua BGR mean subtraction)."""
-    x = np.asarray(images_rgb_uint8, np.float32)[..., ::-1]  # RGB -> BGR
-    return x - np.asarray(BGR_MEANS, np.float32)
+def weight_origin(path: str) -> str:
+    """Read the preprocessing origin recorded in a weight .npz.
+
+    Artifacts written before the origin tag existed (or converted from
+    Caffe VGG-16, the reference's source) default to 'caffe'.
+    """
+    with np.load(path) as z:
+        if "origin" in z.files:
+            return str(z["origin"])
+    return "caffe"
+
+
+def preprocess(images_rgb_uint8: np.ndarray, origin: str = "caffe") -> np.ndarray:
+    """(N, 224, 224, 3) RGB uint8 -> floats normalized for `origin` weights.
+
+    caffe (the reference pipeline — prepro_img.lua): RGB -> BGR, 0-255
+    scale, per-channel mean subtraction.  torchvision: stays RGB, /255,
+    ImageNet mean/std.  Match `origin` to the weight artifact
+    (see `weight_origin`).
+    """
+    if origin == "caffe":
+        x = np.asarray(images_rgb_uint8, np.float32)[..., ::-1]  # RGB -> BGR
+        return x - np.asarray(BGR_MEANS, np.float32)
+    if origin == "torchvision":
+        x = np.asarray(images_rgb_uint8, np.float32) / 255.0
+        return ((x - np.asarray(IMAGENET_MEAN, np.float32))
+                / np.asarray(IMAGENET_STD, np.float32))
+    raise ValueError(f"unknown weight origin {origin!r}; "
+                     f"choose from {WEIGHT_ORIGINS}")
 
 
 def _conv(x, p):
