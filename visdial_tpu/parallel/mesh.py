@@ -64,11 +64,21 @@ def param_pspec(path: str, ndim: int) -> P:
 
 def tree_shardings(template, mesh: Mesh):
     """Pytree of NamedShardings for a state/params template (abstract or
-    concrete); leaves are matched by tree path via param_pspec."""
+    concrete); leaves are matched by tree path via param_pspec.
+
+    A dimension whose size is not divisible by its mesh axis (e.g. an odd
+    vocab on a 2-wide model axis) degrades to replicated for that leaf:
+    jax.device_put/pjit reject uneven shards outright, and padding the
+    vocab would leak into checkpoints.  Divisible layouts are unaffected.
+    """
 
     def to_sharding(path, leaf):
-        spec = param_pspec(tree_path_str(path), len(getattr(leaf, "shape", ())))
-        return NamedSharding(mesh, spec)
+        shape = getattr(leaf, "shape", ())
+        spec = param_pspec(tree_path_str(path), len(shape))
+        fixed = tuple(
+            axis if axis is None or shape[i] % mesh.shape[axis] == 0 else None
+            for i, axis in enumerate(spec))
+        return NamedSharding(mesh, P(*fixed))
 
     return jax.tree_util.tree_map_with_path(to_sharding, template)
 
