@@ -1,23 +1,37 @@
-"""Benchmark: flagship-model train throughput vs the Torch-CPU baseline.
+"""Benchmark: train/eval throughput vs the Torch-CPU baseline.
 
 Prints ONE JSON line:
     {"metric": "train_rounds_per_sec_per_chip", "value": N,
      "unit": "rounds/s/chip", "vs_baseline": N, ...extra keys...}
 
-The primary metric is dialog rounds/sec/chip training MN-QIH-disc (the
-reference's best-MRR model) at full VisDial shapes (vocab 8848, batch 32
-dialogs x 10 rounds, 100 candidates) — the north star in BASELINE.json.
+The primary metric is dialog rounds/sec/chip training the selected model
+(default MN-QIH-disc, the reference's best-MRR model) at full VisDial
+shapes (vocab 8848, batch 32 dialogs x 10 rounds, 100 candidates) — the
+north star in BASELINE.json.  Every BASELINE.md throughput row is
+reproducible from here:
+
+    python bench.py                                   # flagship MN-QIH-disc
+    python bench.py --encoder lf-ques-im-hist         # LF row
+    python bench.py --decoder gen                     # gen-decoder training
+    python bench.py --compute_dtype float32           # f32 ablation
+
 `vs_baseline` is the per-chip speedup over the SAME model/step implemented
 in PyTorch on this host's CPU (the reference is 2017 Torch; Torch-CPU is
 the baseline BASELINE.json names).  The Torch number is measured once and
-cached in bench_baseline_torch.json so subsequent runs skip it; delete the
-file to re-measure.
+cached in bench_baseline_torch.json (only after a SUCCESSFUL measurement —
+failures fall back to an estimate without persisting it); the JSON carries
+the baseline's shapes so the headline is self-describing.  Delete the file
+to re-measure.
 
-All progress goes to stderr; stdout carries only the final JSON line.
+MFU is computed from XLA's own compiled-HLO flop count divided by
+(wall-clock x per-chip peak), peak taken from the device kind (v5e:
+197 TFLOP/s bf16).  All progress goes to stderr; stdout carries only the
+final JSON line.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -29,50 +43,75 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 BASELINE_CACHE = os.path.join(REPO, "bench_baseline_torch.json")
 
+# Per-chip peak dense-matmul FLOP/s by device kind prefix (public specs).
+PEAK_FLOPS = {
+    "TPU v5 lite": {"bfloat16": 197e12, "float32": 49e12},
+    "TPU v5e": {"bfloat16": 197e12, "float32": 49e12},
+    "TPU v4": {"bfloat16": 275e12, "float32": 69e12},
+    "TPU v6 lite": {"bfloat16": 918e12, "float32": 229e12},
+}
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def flagship_config(batch_size: int = 32):
+def flagship_config(encoder: str = "mn-ques-im-hist", decoder: str = "disc",
+                    batch_size: int = 32, compute_dtype: str = "bfloat16"):
     from visdial_tpu.config import Config
 
     return Config(
-        encoder="mn-ques-im-hist",
-        decoder="disc",
+        encoder=encoder,
+        decoder=decoder,
         vocab_size=8848,
         batch_size=batch_size,
         dropout=0.5,
-        compute_dtype="bfloat16",   # the production TPU configuration
+        compute_dtype=compute_dtype,  # bf16 is the production TPU config
     )
+
+
+def _peak_flops_per_chip(compute_dtype: str) -> float | None:
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for prefix, peaks in PEAK_FLOPS.items():
+        if kind.startswith(prefix):
+            return peaks.get(compute_dtype)
+    return None
+
+
+def _step_flops(train_fn, state, batch) -> float | None:
+    """XLA's own flop count for the compiled train step (no hand model)."""
+    try:
+        cost = train_fn.lower(state, batch).compile().cost_analysis()
+        if isinstance(cost, list):  # older jax returns one dict per device
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception as e:
+        log(f"[jax] cost_analysis unavailable ({type(e).__name__}: {e})")
+        return None
 
 
 # ---------------------------------------------------------------------------
 # JAX side
 # ---------------------------------------------------------------------------
 
-def bench_jax(steps: int = 16, warmup: int = 3) -> dict:
+def bench_train(cfg, steps: int = 16, warmup: int = 3) -> dict:
+    """Train throughput (+ achieved TFLOP/s + MFU) for one model config."""
     import jax
-
-    from visdial_tpu.utils.platform import enable_compilation_cache
-
-    enable_compilation_cache()
 
     from visdial_tpu.data.synthetic import random_batch
     from visdial_tpu.parallel.mesh import make_mesh, shard_batch
     from visdial_tpu.parallel.train_step import (
         init_train_state,
-        make_eval_fn,
         make_train_fn,
         shard_train_state,
     )
 
-    cfg = flagship_config()
-    jax.config.update("jax_default_prng_impl", cfg.prng_impl)
     n_chips = len(jax.devices())
     mesh = make_mesh()
-    log(f"[jax] backend={jax.default_backend()} chips={n_chips} "
-        f"model={cfg.encoder}-{cfg.decoder} batch={cfg.batch_size}")
+    log(f"[jax] train {cfg.encoder}-{cfg.decoder} batch={cfg.batch_size} "
+        f"dtype={cfg.compute_dtype} chips={n_chips}")
 
     state = shard_train_state(init_train_state(cfg), cfg, mesh)
     train_fn = make_train_fn(cfg, mesh)
@@ -81,13 +120,15 @@ def bench_jax(steps: int = 16, warmup: int = 3) -> dict:
     # NOTE: block_until_ready does not reliably block under the tunneled
     # TPU runtime here; a host readback of a scalar is the sync point.
     t0 = time.time()
-    for i in range(warmup):
+    for _ in range(warmup):
         state, m = train_fn(state, batch)
     float(np.asarray(m["loss"]))
     log(f"[jax] compile+warmup {time.time() - t0:.1f}s")
 
+    flops = _step_flops(train_fn, state, batch)
+
     t0 = time.time()
-    for i in range(steps):
+    for _ in range(steps):
         state, m = train_fn(state, batch)
     float(np.asarray(m["loss"]))
     dt = time.time() - t0
@@ -96,33 +137,61 @@ def bench_jax(steps: int = 16, warmup: int = 3) -> dict:
     log(f"[jax] train: {steps} steps in {dt:.2f}s -> "
         f"{train_rps:.1f} rounds/s ({train_rps / n_chips:.1f}/chip)")
 
-    # Eval throughput: 100-candidate ranking evals/sec.
+    out = {
+        "train_rounds_per_sec": train_rps,
+        "train_rounds_per_sec_per_chip": train_rps / n_chips,
+        "_state": state, "_mesh": mesh, "_batch": batch,
+    }
+    if flops is not None:
+        achieved = flops * steps / dt / n_chips
+        out["train_achieved_tflops_per_sec_per_chip"] = achieved / 1e12
+        peak = _peak_flops_per_chip(cfg.compute_dtype)
+        if peak:
+            out["train_mfu"] = achieved / peak
+            log(f"[jax] {achieved / 1e12:.1f} TFLOP/s/chip achieved "
+                f"(XLA-counted) -> MFU {achieved / peak:.3f} vs "
+                f"{peak / 1e12:.0f} TFLOP/s {cfg.compute_dtype} peak")
+    return out
+
+
+def bench_eval(cfg, state, mesh, batch, steps: int = 8) -> dict:
+    """Ranking-eval throughput for the already-trained state."""
+    import jax
+    import jax.numpy as jnp
+
+    from visdial_tpu.parallel.train_step import (
+        make_disc_table_eval_fns,
+        make_eval_fn,
+    )
+
+    n_chips = len(jax.devices())
+    out = {}
+
     eval_fn = make_eval_fn(cfg, mesh)
     scores = eval_fn(state.params, batch)
     float(np.asarray(scores[0, 0, 0]))
     t0 = time.time()
-    eval_steps = max(steps // 2, 4)
-    for _ in range(eval_steps):
+    for _ in range(steps):
         scores = eval_fn(state.params, batch)
     float(np.asarray(scores[0, 0, 0]))
-    dt_e = time.time() - t0
-    evals_per_sec = eval_steps * cfg.batch_size * cfg.num_rounds / dt_e
-    log(f"[jax] eval: {evals_per_sec:.1f} 100-cand evals/s")
+    eps = steps * cfg.batch_size * cfg.num_rounds / (time.time() - t0)
+    key = "eval_100cand_per_sec" if cfg.decoder == "disc" else \
+        "gen_eval_100cand_per_sec"
+    log(f"[jax] {cfg.decoder} eval: {eps:.1f} 100-cand evals/s")
+    out[key] = eps
+    out[key + "_per_chip"] = eps / n_chips
+    if cfg.decoder != "disc":
+        return out
 
     # Disc table fast path: embed a v0.9-scale dedup'd option list once,
     # then score batches by gather — the per-batch option LSTM disappears.
-    from visdial_tpu.parallel.train_step import make_disc_table_eval_fns
-
     M = 100_000  # ~unique answers in a v0.9 split
     rng_np = np.random.default_rng(0)
     opt_list = rng_np.integers(1, cfg.vocab_size - 3,
                                size=(M, cfg.max_ans_len)).astype(np.int32)
     table_fn, score_fn = make_disc_table_eval_fns(cfg, mesh)
-    import jax.numpy as jnp
-    t0 = time.time()
     table = table_fn(state.params, jnp.asarray(opt_list))
-    float(np.asarray(table[0, 0]))
-    t_table = time.time() - t0   # includes compile; report steady below
+    float(np.asarray(table[0, 0]))  # compile
     t0 = time.time()
     table = table_fn(state.params, jnp.asarray(opt_list))
     float(np.asarray(table[0, 0]))
@@ -130,52 +199,78 @@ def bench_jax(steps: int = 16, warmup: int = 3) -> dict:
     scores = score_fn(state.params, table, batch)
     float(np.asarray(scores[0, 0, 0]))
     t0 = time.time()
-    for _ in range(eval_steps):
+    for _ in range(steps):
         scores = score_fn(state.params, table, batch)
     float(np.asarray(scores[0, 0, 0]))
-    table_eps = eval_steps * cfg.batch_size * cfg.num_rounds / (time.time() - t0)
+    table_eps = steps * cfg.batch_size * cfg.num_rounds / (time.time() - t0)
     log(f"[jax] disc table eval: {table_eps:.1f} evals/s per batch "
         f"(+{t_table:.2f}s one-time {M}-row table)")
+    out["disc_table_eval_per_sec_per_chip"] = table_eps / n_chips
+    out["disc_table_build_seconds"] = t_table
+    return out
 
-    # Gen-decoder eval: teacher-forced LM scoring of all 100 candidates —
-    # the reference's dominant eval cost (SURVEY.md §3.2).
-    from visdial_tpu.parallel.train_step import init_train_state as _init
 
-    gcfg = cfg.replace(decoder="gen")
-    gstate = shard_train_state(_init(gcfg), gcfg, mesh)
-    gev = make_eval_fn(gcfg, mesh)
-    gbatch = shard_batch(random_batch(gcfg, seed=0), mesh)
-    scores = gev(gstate.params, gbatch)
-    float(np.asarray(scores[0, 0, 0]))
-    t0 = time.time()
-    for _ in range(4):
-        scores = gev(gstate.params, gbatch)
-    float(np.asarray(scores[0, 0, 0]))
-    gen_eps = 4 * cfg.batch_size * cfg.num_rounds / (time.time() - t0)
-    log(f"[jax] gen eval: {gen_eps:.1f} 100-cand LM evals/s")
+def bench_jax(args) -> dict:
+    import jax
 
-    return {
-        "backend": jax.default_backend(),
-        "n_chips": n_chips,
-        "train_rounds_per_sec": train_rps,
-        "train_rounds_per_sec_per_chip": train_rps / n_chips,
-        "eval_100cand_per_sec": evals_per_sec,
-        "eval_100cand_per_sec_per_chip": evals_per_sec / n_chips,
-        "disc_table_eval_per_sec_per_chip": table_eps / n_chips,
-        "disc_table_build_seconds": t_table,
-        "gen_eval_100cand_per_sec_per_chip": gen_eps / n_chips,
-    }
+    from visdial_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from visdial_tpu.data.synthetic import random_batch
+    from visdial_tpu.parallel.mesh import shard_batch
+    from visdial_tpu.parallel.train_step import (
+        init_train_state,
+        shard_train_state,
+    )
+
+    cfg = flagship_config(args.encoder, args.decoder, args.batch_size,
+                          args.compute_dtype)
+    jax.config.update("jax_default_prng_impl", cfg.prng_impl)
+    stats = {"backend": jax.default_backend(), "n_chips": len(jax.devices()),
+             "model": f"{cfg.encoder}-{cfg.decoder}",
+             "compute_dtype": cfg.compute_dtype,
+             "batch_size": cfg.batch_size}
+
+    t = bench_train(cfg, steps=args.steps)
+    state, mesh, batch = t.pop("_state"), t.pop("_mesh"), t.pop("_batch")
+    stats.update(t)
+    stats.update(bench_eval(cfg, state, mesh, batch,
+                            steps=max(args.steps // 2, 4)))
+
+    if cfg.decoder == "disc" and not args.no_gen:
+        # The other decoder's headline numbers ride along with the flagship
+        # run so one bench invocation reproduces the whole BASELINE.md row
+        # set: gen TRAIN throughput + gen 100-candidate LM eval.
+        gcfg = cfg.replace(decoder="gen")
+        g = bench_train(gcfg, steps=max(args.steps // 2, 4))
+        gstate, gmesh = g.pop("_state"), g.pop("_mesh")
+        g.pop("_batch")
+        stats["gen_train_rounds_per_sec_per_chip"] = \
+            g["train_rounds_per_sec_per_chip"]
+        if "train_mfu" in g:
+            stats["gen_train_mfu"] = g["train_mfu"]
+        gbatch = shard_batch(random_batch(gcfg, seed=0), gmesh)
+        stats.update(bench_eval(gcfg, gstate, gmesh, gbatch, steps=4))
+    return stats
 
 
 # ---------------------------------------------------------------------------
 # Torch-CPU baseline twin (same model, same step, same shapes-per-round)
 # ---------------------------------------------------------------------------
 
-def bench_torch_cpu(batch_size: int = 2, max_seconds: float = 90.0) -> float:
+TORCH_BASELINE_BATCH = 8
+TORCH_BASELINE_TARGET_STEPS = 16   # measured if the time budget allows
+TORCH_BASELINE_MIN_STEPS = 8       # cache-validity bar (~24s/step here)
+
+
+def bench_torch_cpu(batch_size: int = TORCH_BASELINE_BATCH,
+                    max_seconds: float = 240.0) -> dict:
     """Rounds/sec of the MN-QIH-disc train step in PyTorch on CPU.
 
     Smaller batch than the JAX run (CPU-sized); throughput is normalized
-    per dialog round so the comparison is apples-to-apples.
+    per dialog round so the comparison is apples-to-apples.  Returns the
+    measurement with its shapes so the cached headline is self-describing.
     """
     import torch
     import torch.nn as nn
@@ -232,47 +327,65 @@ def bench_torch_cpu(batch_size: int = 2, max_seconds: float = 90.0) -> float:
 
     step()  # warmup (allocator, thread pool)
     n, t0 = 0, time.time()
-    while n < 4 and time.time() - t0 < max_seconds:
+    while n < TORCH_BASELINE_TARGET_STEPS and time.time() - t0 < max_seconds:
         step()
         n += 1
     rps = n * B * R / (time.time() - t0)
-    log(f"[torch-cpu] {n} steps, {rps:.2f} rounds/s "
+    log(f"[torch-cpu] {n} steps at batch {B}, {rps:.2f} rounds/s "
         f"({torch.get_num_threads()} threads)")
-    return rps
+    return {"rounds_per_sec": rps, "model": "mn-ques-im-hist-disc",
+            "batch_size": B, "steps_measured": n,
+            "threads": torch.get_num_threads(), "host_cpus": os.cpu_count(),
+            "masked_lstm": False,  # plain nn.LSTM: favors the baseline
+            "estimated": False}
 
 
-def torch_baseline_rounds_per_sec() -> float:
+def torch_baseline() -> dict:
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             cached = json.load(f)
-        if cached.get("host_cpus") == os.cpu_count():
+        if (cached.get("host_cpus") == os.cpu_count()
+                and cached.get("steps_measured", 0) >= TORCH_BASELINE_MIN_STEPS
+                and not cached.get("estimated", False)):
             log(f"[torch-cpu] cached baseline "
                 f"{cached['rounds_per_sec']:.2f} rounds/s")
-            return cached["rounds_per_sec"]
-        log("[torch-cpu] cache is from a different host (cpu count "
-            f"{cached.get('host_cpus')} != {os.cpu_count()}); re-measuring")
+            return cached
+        log("[torch-cpu] cache stale (different host / too few steps / "
+            "estimate); re-measuring")
     try:
-        rps = bench_torch_cpu()
+        measured = bench_torch_cpu()
     except Exception as e:  # torch missing/broken: fall back, don't fail bench
-        log(f"[torch-cpu] baseline measurement failed ({e}); using estimate")
-        rps = 5.0
-    with open(BASELINE_CACHE, "w") as f:
-        json.dump({"rounds_per_sec": rps, "model": "mn-ques-im-hist-disc",
-                   "host_cpus": os.cpu_count()}, f)
-    return rps
+        log(f"[torch-cpu] baseline measurement failed ({e}); using an "
+            "ESTIMATE — not persisted, re-measured next run")
+        return {"rounds_per_sec": 5.0, "estimated": True}
+    with open(BASELINE_CACHE, "w") as f:  # persist ONLY real measurements
+        json.dump(measured, f)
+    return measured
 
 
-def main() -> None:
-    jax_stats = bench_jax()
-    baseline = torch_baseline_rounds_per_sec()
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--encoder", default="mn-ques-im-hist")
+    p.add_argument("--decoder", default="disc", choices=("disc", "gen"))
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=("bfloat16", "float32"))
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--steps", type=int, default=16)
+    p.add_argument("--no_gen", action="store_true",
+                   help="skip the ride-along gen-decoder measurements")
+    args = p.parse_args(argv)
+
+    jax_stats = bench_jax(args)
+    baseline = torch_baseline()
     value = jax_stats["train_rounds_per_sec_per_chip"]
     result = {
         "metric": "train_rounds_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "rounds/s/chip",
-        "vs_baseline": round(value / baseline, 2),
-        "baseline_torch_cpu_rounds_per_sec": round(baseline, 2),
-        **{k: (round(v, 2) if isinstance(v, float) else v)
+        "vs_baseline": round(value / baseline["rounds_per_sec"], 2),
+        "baseline_torch_cpu": {k: (round(v, 2) if isinstance(v, float) else v)
+                               for k, v in baseline.items()},
+        **{k: (round(v, 4) if isinstance(v, float) else v)
            for k, v in jax_stats.items()},
     }
     print(json.dumps(result), flush=True)
