@@ -163,3 +163,67 @@ def test_prepro_img_cli_images_npz(tmp_path, prepro_dir):
     # tail batch (n=6, bs=4) must not be padded garbage: recompute row n-1
     direct = vgg16.apply(params, vgg16.preprocess(images[n - 1:n]))["fc7"]
     np.testing.assert_allclose(feats[n - 1], np.asarray(direct)[0], atol=1e-4)
+
+
+def test_prepro_v10_variable_rounds(tmp_path):
+    """v1.0-style data: short dialogs and incompletely annotated rounds are
+    padded + masked (round_valid), not rejected (ADVICE r1: the prepro CLI
+    previously hard-asserted fixed shapes and aborted on v1.0 val/test)."""
+    import jax
+
+    from visdial_tpu.data.loader import EvalLoader, TrainLoader
+    from visdial_tpu.eval_harness import evaluate_split
+    from visdial_tpu.parallel.mesh import make_mesh
+    from visdial_tpu.parallel.train_step import init_train_state, train_step
+
+    d = tmp_path
+    make_visdial_json(d / "train.json", 8, 40, 30, seed=0)
+    make_visdial_json(d / "val.json", 6, 40, 30, seed=1)
+    # mutate val into v1.0-test-like shape: dialog 0 has 2 rounds; dialog 1's
+    # round 1 lacks answer_options; dialog 2's round 2 lacks the answer
+    with open(d / "val.json") as f:
+        raw = json.load(f)
+    dialogs = raw["data"]["dialogs"]
+    dialogs[0]["dialog"] = dialogs[0]["dialog"][:2]
+    del dialogs[1]["dialog"][1]["answer_options"]
+    del dialogs[1]["dialog"][1]["gt_index"]
+    del dialogs[2]["dialog"][2]["answer"]
+    del dialogs[2]["dialog"][2]["gt_index"]
+    with open(d / "val.json", "w") as f:
+        json.dump(raw, f)
+
+    prepro_main([
+        "--train_json", str(d / "train.json"),
+        "--val_json", str(d / "val.json"),
+        "--img_feats_train", "", "--img_feats_val", "",
+        "--out_dir", str(d / "out"), "--min_count", "1",
+        "--max_ques_len", "8", "--max_ans_len", "5", "--max_cap_len", "8",
+        "--num_rounds", str(R), "--num_options", str(K),
+    ])
+    val, vocab = load_split(str(d / "out"), "val")
+    want = np.ones((6, R), np.int32)
+    want[0, 2:] = 0   # truncated dialog
+    want[1, 1] = 0    # no options
+    want[2, 2] = 0    # no answer
+    np.testing.assert_array_equal(val.round_valid, want)
+
+    cfg = small_config(
+        vocab_size=vocab.size, encoder="lf-ques-hist", decoder="disc",
+        max_ques_len=8, max_ans_len=5, max_cap_len=8,
+        num_rounds=R, num_options=K, batch_size=3, img_feat_size=1,
+    )
+    # masked rounds reach neither metrics...
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    metrics = evaluate_split(init_train_state(cfg).params, val, vocab, cfg,
+                             mesh)
+    assert metrics["num_examples"] == int(want.sum())
+    # ...nor the training loss (finite even with invalid rounds in-batch)
+    state = init_train_state(cfg)
+    batch = next(iter(TrainLoader(val, vocab, cfg).epoch(seed=0))).as_dict()
+    for decoder in ("disc", "gen"):
+        dcfg = cfg.replace(decoder=decoder)
+        b = (batch if decoder == "disc" else
+             next(iter(EvalLoader(val, vocab, dcfg, batch_size=3))).as_dict())
+        st = init_train_state(dcfg)
+        st, m = jax.jit(lambda s, x: train_step(s, x, dcfg, impl="xla"))(st, b)
+        assert np.isfinite(float(np.asarray(m["loss"])))

@@ -124,6 +124,13 @@ class Config:
                                  # divide gen candidate scores by token
                                  # count (reference behavior is sum,
                                  # SURVEY.md [P]; flag aids parity tuning)
+    gen_eval_bucketed: bool = True
+                                 # gen retrieval eval: sort candidate rows
+                                 # by length into static buckets and score
+                                 # short rows at a narrower scan width —
+                                 # identical scores (masked steps are exact
+                                 # zeros), ~40% fewer FLOPs at real answer
+                                 # lengths; False = single full-width pass
     lf_hist_incremental: bool = True
                                  # LF history as ONE left-aligned LSTM pass
                                  # with per-round boundary readouts: the

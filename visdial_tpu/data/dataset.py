@@ -48,6 +48,13 @@ class VisDialSplit:
       gt_ind    (N, R)     int32   ground-truth position in [0, 100)
       img_feat  (N, F)     float32 VGG-16 fc7 (or conv5-pooled) features
       img_ids   (N,)       int64   COCO image ids (bookkeeping)
+      round_valid (N, R)   int32   1 = fully annotated round.  v0.9-style
+                                   splits are all-ones (and omitting the
+                                   field means all-ones — old artifacts
+                                   load unchanged); v1.0 val/test dialogs
+                                   with fewer than R rounds or rounds
+                                   missing answer/options are padded and
+                                   masked out of loss and metrics.
     """
 
     ques: np.ndarray
@@ -62,6 +69,11 @@ class VisDialSplit:
     gt_ind: np.ndarray
     img_feat: np.ndarray
     img_ids: np.ndarray
+    round_valid: np.ndarray | None = None
+
+    def __post_init__(self) -> None:
+        if self.round_valid is None:
+            self.round_valid = np.ones_like(self.gt_ind, dtype=np.int32)
 
     @property
     def num_dialogs(self) -> int:
@@ -76,6 +88,7 @@ class VisDialSplit:
         assert self.ans.shape[:2] == (n, r)
         assert self.opt_inds.shape[:2] == (n, r)
         assert self.gt_ind.shape == (n, r)
+        assert self.round_valid.shape == (n, r)
         assert self.img_feat.shape[0] == n
         assert self.opt_inds.max() < self.opt_list.shape[0]
         assert (self.gt_ind >= 0).all() and (self.gt_ind < self.opt_inds.shape[2]).all()

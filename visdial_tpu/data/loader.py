@@ -104,11 +104,15 @@ class Batch:
       opt_out     (B, R, K, La+1)  cand+<END>         (gen eval)
       gt_ind      (B, R)
       dialog_valid (B,)            0/1 — padding rows in the final eval batch
+      round_valid  (B, R)          0/1 — incompletely annotated rounds
+                                   (v1.0 short/test dialogs); excluded from
+                                   loss and metrics
     """
 
     ques: np.ndarray
     gt_ind: np.ndarray
     dialog_valid: np.ndarray
+    round_valid: np.ndarray
     hist_concat: np.ndarray | None = None
     hist_flat: np.ndarray | None = None
     hist_bounds: np.ndarray | None = None
@@ -268,8 +272,13 @@ class BatchAssembler:
         idx: np.ndarray,
         with_options: bool = True,
         with_gen_options: bool = False,
+        with_option_tokens: bool = True,
         pad_to: int | None = None,
     ) -> Batch:
+        """with_option_tokens=False keeps only opt_inds/opt_len (the eval
+        fast paths gather candidate tokens on device from the split's
+        opt_list — expanding ~3 MB of rows per batch on the host and
+        shipping them over is pure waste there)."""
         d, cfg, v = self.data, self.cfg, self.vocab
         idx = np.asarray(idx)
         B = len(idx)
@@ -282,7 +291,8 @@ class BatchAssembler:
 
         ques = right_align_fast(d.ques[idx], d.ques_len[idx])
         batch = Batch(ques=ques, gt_ind=d.gt_ind[idx].astype(np.int32),
-                      dialog_valid=valid)
+                      dialog_valid=valid,
+                      round_valid=d.round_valid[idx].astype(np.int32))
 
         if self.need_concat:
             if cfg.lf_hist_incremental:
@@ -301,15 +311,16 @@ class BatchAssembler:
         if with_options:
             sel = d.opt_inds[idx]                      # (B, R, K)
             batch.opt_inds = sel.astype(np.int32)
-            if _native is not None and _native.available():
-                batch.opt = _native.gather_options(d.opt_list, sel)
-            else:
-                batch.opt = d.opt_list[sel]            # (B, R, K, La)
             batch.opt_len = d.opt_list_len[sel]
-            if with_gen_options:
-                batch.opt_in, batch.opt_out = _with_start_end(
-                    batch.opt, batch.opt_len, v.start, v.end
-                )
+            if with_option_tokens:
+                if _native is not None and _native.available():
+                    batch.opt = _native.gather_options(d.opt_list, sel)
+                else:
+                    batch.opt = d.opt_list[sel]        # (B, R, K, La)
+                if with_gen_options:
+                    batch.opt_in, batch.opt_out = _with_start_end(
+                        batch.opt, batch.opt_len, v.start, v.end
+                    )
         return batch
 
 
@@ -368,15 +379,20 @@ class TrainLoader:
 
 
 class EvalLoader:
-    """Sequential iterator over a split with options for candidate scoring."""
+    """Sequential iterator over a split with options for candidate scoring.
+
+    option_tokens=False assembles only opt_inds/opt_len — for the eval fast
+    paths that gather candidate tokens on device from the split's opt_list.
+    """
 
     def __init__(self, data: VisDialSplit, vocab: Vocabulary, config: Config,
-                 batch_size: int | None = None):
+                 batch_size: int | None = None, option_tokens: bool = True):
         self.assembler = BatchAssembler(data, vocab, config)
         self.cfg = config
         self.bs = batch_size or config.batch_size
         self.n = data.num_dialogs
         self.num_batches = -(-self.n // self.bs)
+        self.option_tokens = option_tokens
 
     def __iter__(self) -> Iterator[Batch]:
         gen_opts = self.cfg.decoder == "gen"
@@ -384,5 +400,5 @@ class EvalLoader:
             idx = np.arange(s * self.bs, min((s + 1) * self.bs, self.n))
             yield self.assembler.assemble(
                 idx, with_options=True, with_gen_options=gen_opts,
-                pad_to=self.bs,
+                with_option_tokens=self.option_tokens, pad_to=self.bs,
             )

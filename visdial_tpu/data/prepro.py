@@ -97,6 +97,7 @@ def build_split(data: dict, vocab: Vocabulary, cfg_caps: dict,
     cap_len = np.zeros(N, np.int32)
     opt_inds = np.zeros((N, num_rounds, num_options), np.int32)
     gt_ind = np.zeros((N, num_rounds), np.int32)
+    round_valid = np.zeros((N, num_rounds), np.int32)
     img_ids = np.zeros(N, np.int64)
 
     # The dedup'd option list IS the global answer list (the released JSON
@@ -107,26 +108,32 @@ def build_split(data: dict, vocab: Vocabulary, cfg_caps: dict,
     for i, d in enumerate(dialogs):
         img_ids[i] = int(d.get("image_id", i))
         cap[i], cap_len[i] = vocab.encode(tokenize(d.get("caption", "")), Lc)
+        # v0.9-style train dialogs always carry num_rounds fully annotated
+        # rounds; v1.0 val/test dialogs may have fewer rounds, or rounds
+        # missing the answer (test) or the candidate list.  Short dialogs
+        # are zero-padded and every incompletely annotated round is masked
+        # out of loss and metrics via round_valid (behavior of record —
+        # the empty-mount rule in SURVEY.md §0: decide + document).
         rounds = d["dialog"][:num_rounds]
-        assert len(rounds) == num_rounds, (
-            f"dialog {i} has {len(rounds)} rounds; protocol expects "
-            f"{num_rounds} (reference: 10 rounds/dialog)")
         for r, turn in enumerate(rounds):
-            qi, ai = int(turn["question"]), int(turn["answer"])
+            qi, ai = int(turn["question"]), int(turn.get("answer", -1))
             ques[i, r], ques_len[i, r] = q_enc[qi], q_len[qi]
-            ans[i, r], ans_len[i, r] = a_enc[ai], a_len[ai]
-            opts = [int(o) for o in turn["answer_options"][:num_options]]
-            assert len(opts) == num_options, (
-                f"dialog {i} round {r}: {len(opts)} options; protocol "
-                f"expects {num_options}")
-            opt_inds[i, r] = opts
-            gt = turn.get("gt_index")
-            if gt is None:  # some exports store the answer id, not the slot
-                gt = opts.index(ai)
-            gt_ind[i, r] = int(gt)
-            assert opts[gt_ind[i, r]] == ai, (
-                f"dialog {i} round {r}: gt_index does not point at the "
-                "ground-truth answer")
+            if ai >= 0:
+                ans[i, r], ans_len[i, r] = a_enc[ai], a_len[ai]
+            opts = [int(o) for o in
+                    turn.get("answer_options", [])[:num_options]]
+            if len(opts) == num_options:
+                opt_inds[i, r] = opts
+                gt = turn.get("gt_index")
+                if gt is None and ai >= 0:
+                    # some exports store the answer id, not the slot
+                    gt = opts.index(ai)
+                if gt is not None:
+                    gt_ind[i, r] = int(gt)
+                    assert opts[gt_ind[i, r]] == ai, (
+                        f"dialog {i} round {r}: gt_index does not point at "
+                        "the ground-truth answer")
+                    round_valid[i, r] = 1
 
     if img_feat is None:
         img_feat = np.zeros((N, 1), np.float32)
@@ -139,6 +146,7 @@ def build_split(data: dict, vocab: Vocabulary, cfg_caps: dict,
         opt_list=opt_list, opt_list_len=opt_list_len,
         opt_inds=opt_inds, gt_ind=gt_ind,
         img_feat=img_feat.astype(np.float32), img_ids=img_ids,
+        round_valid=round_valid,
     ).validate()
 
 

@@ -158,6 +158,7 @@ def random_batch(cfg: Config, seed: int = 0, batch_size: int | None = None,
         "opt_in": opt_in, "opt_out": opt_out,
         "gt_ind": rng.integers(0, K, size=(B, R)).astype(np.int32),
         "dialog_valid": np.ones(B, np.int32),
+        "round_valid": np.ones((B, R), np.int32),
     }
     if not full_lengths:
         for k in ("ques", "facts"):

@@ -82,6 +82,11 @@ def gen_loss(params, embed_params, joint, batch, cfg: Config,
     N = joint.shape[0]
     tokens_in = batch["ans_in"].reshape(N, -1)
     tokens_out = batch["ans_out"].reshape(N, -1)
+    if (valid := batch.get("round_valid")) is not None:
+        # Incompletely annotated rounds (v1.0 short/test dialogs) carry a
+        # lone <END> target after padding — zeroing their targets removes
+        # them from the masked NLL.  All-ones masks are a no-op.
+        tokens_out = tokens_out * valid.reshape(N, 1)
     logits = gen_logits(params, embed_params, joint, tokens_in, cfg,
                         train=train, rng=rng, impl=impl)
     return masked_nll(logits, tokens_out)
@@ -99,28 +104,26 @@ def _maybe_length_norm(scores, targets, cfg: Config):
     return scores / n_tok
 
 
-def gen_candidate_scores(params, embed_params, joint, opt_in, opt_out,
-                         cfg: Config, *, impl="xla"):
-    """Sum of token log-probs per candidate (reference: evaluate.lua gen
-    branch — the dominant eval cost).
+def gen_score_rows(params, embed_params, joint_rows, tokens_in, tgt,
+                   cfg: Config, *, impl="xla"):
+    """Score candidate ROWS: sum of token log-probs per row.
 
-    joint (N, H); opt_in/opt_out (N, K, T).  Returns (N, K) scores.
-    Candidates fold into the batch: (N*K, T) through one LSTM pass.  The
-    vocab projection + log-softmax is then chunked over rows with lax.map —
-    materializing all (N*K, T, V) logits would be ~10GB at flagship shapes
+    joint_rows (rows, H) — the per-row conditioning (the dialog round's
+    joint embedding, one per candidate); tokens_in/tgt (rows, T) with T any
+    static width >= the row's length+1 (masked steps contribute exactly
+    zero, so scores are identical for any sufficient T — the bucketed eval
+    fast path relies on this).  Returns (rows,) scores.
+
+    The vocab projection + log-softmax is chunked over rows with lax.map —
+    materializing all (rows, T, V) logits would be ~10GB at flagship shapes
     (32k rows x 9 steps x 8848 vocab f32), past HBM; per-chunk scoring
     keeps the transient bounded while each chunk matmul stays MXU-sized.
     """
-    N, K, T = opt_in.shape
-    joint_k = jnp.repeat(joint, K, axis=0)                    # (N*K, H)
-    tokens_in = opt_in.reshape(N * K, T)
+    rows, T = tokens_in.shape
     vecs = embed(embed_params, tokens_in).astype(jnp.dtype(cfg.compute_dtype))
     mask = (tokens_in != 0).astype(vecs.dtype)
-    h0, c0 = _joint_to_state(joint_k.astype(vecs.dtype), cfg.num_layers)
+    h0, c0 = _joint_to_state(joint_rows.astype(vecs.dtype), cfg.num_layers)
     outs, _ = masked_lstm(params["lm_lstm"], vecs, mask, h0, c0, impl=impl)
-
-    rows = N * K
-    tgt = opt_out.reshape(rows, T)
 
     if impl == "pallas":
         # Fused online-logsumexp LM head: per-token log p without ever
@@ -132,7 +135,7 @@ def gen_candidate_scores(params, embed_params, joint, opt_in, opt_out,
             params["out_proj"]["w"], params["out_proj"]["b"],
             tgt.reshape(rows * T)).reshape(rows, T)
         s = jnp.sum(tok_lp * (tgt != 0), axis=-1)
-        return _maybe_length_norm(s, tgt, cfg).reshape(N, K)
+        return _maybe_length_norm(s, tgt, cfg)
 
     C = min(SCORE_CHUNK_ROWS, rows)
     pad = -rows % C
@@ -154,7 +157,23 @@ def gen_candidate_scores(params, embed_params, joint, opt_in, opt_out,
     scores = jax.lax.map(
         score_chunk,
         (outs.reshape(n_chunks, C, T, -1), tgt.reshape(n_chunks, C, T)))
-    return scores.reshape(-1)[:rows].reshape(N, K)
+    return scores.reshape(-1)[:rows]
+
+
+def gen_candidate_scores(params, embed_params, joint, opt_in, opt_out,
+                         cfg: Config, *, impl="xla"):
+    """Sum of token log-probs per candidate (reference: evaluate.lua gen
+    branch — the dominant eval cost).
+
+    joint (N, H); opt_in/opt_out (N, K, T).  Returns (N, K) scores.
+    Candidates fold into the batch: (N*K, T) rows through gen_score_rows.
+    """
+    N, K, T = opt_in.shape
+    joint_k = jnp.repeat(joint, K, axis=0)                    # (N*K, H)
+    scores = gen_score_rows(params, embed_params, joint_k,
+                            opt_in.reshape(N * K, T),
+                            opt_out.reshape(N * K, T), cfg, impl=impl)
+    return scores.reshape(N, K)
 
 
 def gen_decode(params, embed_params, joint, cfg: Config, *,
@@ -338,4 +357,10 @@ def disc_loss(params, embed_params, joint, batch, cfg: Config,
                          train=train, rng=rng, impl=impl)
     gt = batch["gt_ind"].reshape(N)
     logp = jax.nn.log_softmax(scores, axis=-1)
-    return -jnp.mean(jnp.take_along_axis(logp, gt[:, None], axis=-1))
+    nll = -jnp.take_along_axis(logp, gt[:, None], axis=-1)[:, 0]
+    if (valid := batch.get("round_valid")) is None:
+        return jnp.mean(nll)
+    # Mean over annotated rounds only (v1.0 short/test dialogs are padded
+    # to the static round count and masked here).
+    v = valid.reshape(N).astype(nll.dtype)
+    return jnp.sum(nll * v) / jnp.maximum(jnp.sum(v), 1.0)

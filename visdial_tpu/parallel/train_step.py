@@ -14,10 +14,11 @@ from functools import partial
 from typing import Any, NamedTuple
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from ..config import Config
-from ..models.model import model_init, model_loss, model_scores
+from ..models.model import _impl, model_init, model_loss, model_scores
 from .mesh import batch_sharding, replicated, tree_shardings
 from .optim import OptState, apply_updates, init_opt_state, lr_at_step
 
@@ -90,6 +91,64 @@ def make_eval_fn(cfg: Config, mesh: Mesh, impl: str | None = None):
         return model_scores(params, batch, cfg, impl=impl)
 
     return jax.jit(score, in_shardings=(psh, bsh), out_shardings=bsh)
+
+
+def make_gen_bucket_eval_fns(cfg: Config, mesh: Mesh, impl: str | None = None):
+    """Gen eval fast path: (encoder_fn, row_score_fn).
+
+    encoder_fn(params, batch) -> replicated joint (N, H).
+    row_score_fn(params, joint, opt_list, opt_list_len, opt_rows (C,),
+    row_idx (C,), width=T, start_token=, end_token=) -> (C,) scores.
+
+    Two hosts of savings over the direct path, both exact:
+      * FLOPs — rows whose length+1 <= T score IDENTICALLY at width T
+        (masked steps contribute exactly zero), so the harness sorts
+        candidate rows by length into buckets of shrinking T and runs most
+        rows at a fraction of the padded step count (gen eval is
+        roofline-bound at the padded width; see BASELINE.md).
+      * host->device traffic — the candidate <START>/<END> rows are built
+        ON DEVICE from the split's opt_list (uploaded once per eval), so a
+        batch ships two tiny index vectors per bucket instead of ~3 MB of
+        expanded candidate tokens (the dominant cost under high-latency
+        transfer links, and fewer DMAs everywhere).
+
+    jit recompiles once per (C, T) bucket shape.
+    """
+    from ..models.decoders import gen_score_rows
+    from ..models.encoders import encoder_apply
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    psh = state_shardings(cfg, mesh).params
+    impl_ = impl or _impl(cfg)
+
+    def encode(params, batch):
+        return encoder_apply(params["encoder"], params["embed"], batch, cfg,
+                             train=False, rng=None, impl=impl_)
+
+    encoder_fn = jax.jit(encode, in_shardings=(psh, bsh), out_shardings=rep)
+
+    def score(params, joint, opt_list, opt_list_len, opt_rows, row_idx,
+              width, start_token, end_token):
+        tok = jnp.take(opt_list, opt_rows, axis=0)[:, : width - 1]  # (C, w-1)
+        lens = jnp.take(opt_list_len, opt_rows)                     # (C,)
+        # same construction as loader._with_start_end, on device:
+        # in = <START> t1..t_{w-1}; out = t1..t_len <END> 0...
+        opt_in = jnp.concatenate(
+            [jnp.full((tok.shape[0], 1), start_token, jnp.int32), tok], axis=1)
+        base = jnp.pad(tok, ((0, 0), (0, 1)))                       # (C, w)
+        pos = jnp.arange(width, dtype=jnp.int32)[None, :]
+        opt_out = jnp.where(pos == lens[:, None], end_token, base)
+        joint_rows = jnp.take(joint, row_idx, axis=0)
+        return gen_score_rows(params["decoder"], params["embed"],
+                              joint_rows, opt_in, opt_out, cfg, impl=impl_)
+
+    # width/start/end are static (positional: pjit forbids kwargs when
+    # in_shardings is given)
+    row_score_fn = jax.jit(
+        score, in_shardings=(psh, rep, rep, rep, rep, rep),
+        out_shardings=rep, static_argnums=(6, 7, 8))
+    return encoder_fn, row_score_fn
 
 
 def make_disc_table_eval_fns(cfg: Config, mesh: Mesh, impl: str | None = None):

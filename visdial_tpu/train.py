@@ -27,7 +27,8 @@ from .data.synthetic import make_synthetic_split
 from .eval_harness import evaluate_split
 from .parallel.mesh import make_mesh, shard_batch
 from .parallel.train_step import (init_train_state, make_disc_table_eval_fns,
-                                  make_eval_fn, make_train_fn)
+                                  make_eval_fn, make_gen_bucket_eval_fns,
+                                  make_train_fn)
 from .utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from .utils.logging import MetricsLogger
 from .utils.platform import apply_platform_env, profiler_supported
@@ -94,12 +95,29 @@ def main(argv=None) -> dict:
     log.log({"event": "config", **dataclasses.asdict(cfg),
              "devices": len(jax.devices()), "backend": jax.default_backend()})
 
+    from .config import encoder_family, encoder_uses_history
+
+    if (encoder_family(cfg.encoder) == "lf" and encoder_uses_history(cfg.encoder)
+            and cfg.lf_hist_incremental and cfg.dropout > 0):
+        # Deterministic math on this path is exactly the per-round
+        # re-encoding; the deviation is noise-shape only (see config.py).
+        log.log({"event": "notice",
+                 "msg": "LF incremental-history path: inter-layer dropout "
+                        "masks are shared across a dialog's rounds (~10x "
+                        "fewer token-steps); pass --lf_hist_incremental "
+                        "false for reference-exact per-round noise"})
+
     mesh = make_mesh(cfg.mesh_data, cfg.mesh_model)
     train_fn = make_train_fn(cfg, mesh)
-    if cfg.decoder == "disc":   # table fast path; compiled once, reused
-        eval_fn, table_fns = None, make_disc_table_eval_fns(cfg, mesh)
+    # Each decoder's eval fast path, compiled once and reused across evals:
+    # disc = option-table scoring; gen = length-bucketed candidate rows.
+    eval_fn = table_fns = gen_fns = None
+    if cfg.decoder == "disc":
+        table_fns = make_disc_table_eval_fns(cfg, mesh)
+    elif cfg.gen_eval_bucketed:
+        gen_fns = make_gen_bucket_eval_fns(cfg, mesh)
     else:
-        eval_fn, table_fns = make_eval_fn(cfg, mesh), False
+        eval_fn, table_fns, gen_fns = make_eval_fn(cfg, mesh), False, False
 
     if args.resume and (path := latest_checkpoint(ckpt_dir)):
         state, cfg_saved, _ = load_checkpoint(path)
@@ -202,7 +220,8 @@ def main(argv=None) -> dict:
                 flush_losses()
                 metrics = evaluate_split(state.params, val_data, vocab, cfg,
                                          mesh, eval_fn=eval_fn,
-                                         table_fns=table_fns)
+                                         table_fns=table_fns,
+                                         gen_fns=gen_fns)
                 last_eval = metrics
                 log.log({"event": "eval", "step": step, **metrics})
             if step % save_every == 0 or step >= max_steps:
