@@ -210,6 +210,45 @@ def bench_eval(cfg, state, mesh, batch, steps: int = 8) -> dict:
     return out
 
 
+def bench_harness_e2e(cfg, num_dialogs: int = 512) -> dict:
+    """END-TO-END eval throughput through the real harness (loader assembly
+    + host->device staging + scoring + on-device ranks + metrics) on a
+    v0.9-shaped random split with realistic candidate lengths — the number
+    a user actually sees, unlike the pure-device figures above.  Both
+    decoders measured (disc table path, gen bucketed path); second call
+    reported (first compiles)."""
+    import jax
+
+    from visdial_tpu.data.synthetic import make_random_split
+    from visdial_tpu.eval_harness import evaluate_split
+    from visdial_tpu.parallel.mesh import make_mesh
+    from visdial_tpu.parallel.train_step import (
+        init_train_state,
+        make_disc_table_eval_fns,
+        make_gen_bucket_eval_fns,
+        shard_train_state,
+    )
+
+    mesh = make_mesh()
+    n_chips = len(jax.devices())
+    split, vocab = make_random_split(cfg, num_dialogs=num_dialogs,
+                                     num_unique_answers=50_000, seed=0)
+    out = {}
+    for decoder in ("disc", "gen"):
+        dcfg = cfg.replace(decoder=decoder, vocab_size=vocab.size)
+        params = shard_train_state(init_train_state(dcfg), dcfg, mesh).params
+        fns = (dict(table_fns=make_disc_table_eval_fns(dcfg, mesh))
+               if decoder == "disc"
+               else dict(gen_fns=make_gen_bucket_eval_fns(dcfg, mesh)))
+        evaluate_split(params, split, vocab, dcfg, mesh, **fns)  # compile
+        m = evaluate_split(params, split, vocab, dcfg, mesh, **fns)
+        key = f"{decoder}_eval_e2e_per_sec_per_chip"
+        out[key] = m["evals_per_sec"] / n_chips
+        log(f"[jax] {decoder} eval end-to-end (harness): "
+            f"{m['evals_per_sec']:.0f} evals/s")
+    return out
+
+
 def bench_jax(args) -> dict:
     import jax
 
@@ -237,6 +276,8 @@ def bench_jax(args) -> dict:
     stats.update(t)
     stats.update(bench_eval(cfg, state, mesh, batch,
                             steps=max(args.steps // 2, 4)))
+
+    stats.update(bench_harness_e2e(cfg))
 
     if cfg.decoder == "disc" and not args.no_gen:
         # The other decoder's headline numbers ride along with the flagship
