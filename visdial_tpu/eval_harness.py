@@ -8,6 +8,7 @@ then MRR / R@1 / R@5 / R@10 / mean rank over every (dialog, round).
 
 from __future__ import annotations
 
+import functools
 import time
 
 import numpy as np
@@ -30,6 +31,27 @@ from .utils.metrics import ranks_from_scores, retrieval_metrics
 # stays on the host or is gathered on device from once-uploaded tables.
 _ENCODER_BATCH_KEYS = ("ques", "hist_concat", "hist_flat", "hist_bounds",
                        "facts", "fact_len", "img")
+
+
+@functools.lru_cache(maxsize=None)
+def _rank_fn(ties: str):
+    """Jitted on-device rank computation; memoized so repeated evals in a
+    training run reuse the compiled program."""
+    return jax.jit(functools.partial(ranks_from_scores, ties=ties))
+
+
+@functools.lru_cache(maxsize=None)
+def _combine_fn(brk: int):
+    """Jitted bucket-score scatter (index brk = dumpster slot for padded
+    rows); memoized per flat size."""
+
+    def combine(parts, scatter_idxs):
+        flat = jnp.zeros(brk + 1, jnp.float32)
+        for s, i in zip(parts, scatter_idxs):
+            flat = flat.at[i].set(s.astype(jnp.float32))
+        return flat[:brk]
+
+    return jax.jit(combine)
 
 
 def _staged(iterable, stage):
@@ -142,15 +164,7 @@ def evaluate_split(params, data: VisDialSplit, vocab: Vocabulary,
         device_keys = _ENCODER_BATCH_KEYS + ("gt_ind",)
         K = cfg.num_options
         BRK = loader.bs * cfg.num_rounds * K
-
-        @jax.jit
-        def combine(parts, scatter_idxs):
-            # one readback per batch: scatter every bucket's scores into a
-            # flat vector (index BRK = dumpster slot for padded rows)
-            flat = jnp.zeros(BRK + 1, jnp.float32)
-            for s, i in zip(parts, scatter_idxs):
-                flat = flat.at[i].set(s.astype(jnp.float32))
-            return flat[:BRK]
+        combine = _combine_fn(BRK)   # one readback per batch
 
         def stage_buckets(batch):
             """Per-bucket index tensors, device_put from the staging thread
@@ -199,7 +213,7 @@ def evaluate_split(params, data: VisDialSplit, vocab: Vocabulary,
             batch._buckets = stage_buckets(batch)
         return shard_batch(d, mesh), batch
 
-    rank_fn = jax.jit(lambda s, g: ranks_from_scores(s, g, ties=ties))
+    rank_fn = _rank_fn(ties)
 
     all_ranks = []
     t0 = time.time()
