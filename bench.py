@@ -143,7 +143,10 @@ def bench_train(cfg, steps: int = 16, warmup: int = 3) -> dict:
         "_state": state, "_mesh": mesh, "_batch": batch,
     }
     if flops is not None:
-        achieved = flops * steps / dt / n_chips
+        # cost_analysis reports the PER-DEVICE partitioned module's flops
+        # (we take cost[0] when it returns one dict per device), so this is
+        # already a per-chip figure — no further division by n_chips.
+        achieved = flops * steps / dt
         out["train_achieved_tflops_per_sec_per_chip"] = achieved / 1e12
         peak = _peak_flops_per_chip(cfg.compute_dtype)
         if peak:
@@ -210,7 +213,8 @@ def bench_eval(cfg, state, mesh, batch, steps: int = 8) -> dict:
     return out
 
 
-def bench_harness_e2e(cfg, num_dialogs: int = 512) -> dict:
+def bench_harness_e2e(cfg, num_dialogs: int = 512,
+                      decoders=("disc", "gen")) -> dict:
     """END-TO-END eval throughput through the real harness (loader assembly
     + host->device staging + scoring + on-device ranks + metrics) on a
     v0.9-shaped random split with realistic candidate lengths — the number
@@ -234,7 +238,7 @@ def bench_harness_e2e(cfg, num_dialogs: int = 512) -> dict:
     split, vocab = make_random_split(cfg, num_dialogs=num_dialogs,
                                      num_unique_answers=50_000, seed=0)
     out = {}
-    for decoder in ("disc", "gen"):
+    for decoder in decoders:
         dcfg = cfg.replace(decoder=decoder, vocab_size=vocab.size)
         params = shard_train_state(init_train_state(dcfg), dcfg, mesh).params
         fns = (dict(table_fns=make_disc_table_eval_fns(dcfg, mesh))
@@ -277,7 +281,8 @@ def bench_jax(args) -> dict:
     stats.update(bench_eval(cfg, state, mesh, batch,
                             steps=max(args.steps // 2, 4)))
 
-    stats.update(bench_harness_e2e(cfg))
+    stats.update(bench_harness_e2e(
+        cfg, decoders=(cfg.decoder,) if args.no_gen else ("disc", "gen")))
 
     if cfg.decoder == "disc" and not args.no_gen:
         # The other decoder's headline numbers ride along with the flagship

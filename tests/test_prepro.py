@@ -227,3 +227,67 @@ def test_prepro_v10_variable_rounds(tmp_path):
         st = init_train_state(dcfg)
         st, m = jax.jit(lambda s, x: train_step(s, x, dcfg, impl="xla"))(st, b)
         assert np.isfinite(float(np.asarray(m["loss"])))
+
+
+def test_gen_trains_on_answer_only_rounds(tmp_path):
+    """round_valid means RANKABLE (candidates+gt); gen training masks on
+    answer presence instead, so a round with an answer but no candidate
+    list still trains the LM (code-review r2 finding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from visdial_tpu.data.loader import BatchAssembler
+    from visdial_tpu.models.model import model_init, model_loss
+
+    d = tmp_path
+    make_visdial_json(d / "train.json", 4, 40, 30, seed=0)
+    with open(d / "train.json") as f:
+        raw = json.load(f)
+    # dialog 0 round 1: answer present, candidates absent -> not rankable
+    del raw["data"]["dialogs"][0]["dialog"][1]["answer_options"]
+    del raw["data"]["dialogs"][0]["dialog"][1]["gt_index"]
+    with open(d / "train.json", "w") as f:
+        json.dump(raw, f)
+    prepro_main([
+        "--train_json", str(d / "train.json"),
+        "--val_json", str(d / "train.json"),
+        "--img_feats_train", "", "--img_feats_val", "",
+        "--out_dir", str(d / "out"), "--min_count", "1",
+        "--max_ques_len", "8", "--max_ans_len", "5", "--max_cap_len", "8",
+        "--num_rounds", str(R), "--num_options", str(K),
+    ])
+    split, vocab = load_split(str(d / "out"), "train")
+    assert split.round_valid[0, 1] == 0          # not rankable...
+    assert split.ans_len[0, 1] > 0               # ...but has an answer
+
+    cfg = small_config(vocab_size=vocab.size, encoder="lf-ques",
+                       decoder="gen", max_ques_len=8, max_ans_len=5,
+                       max_cap_len=8, num_rounds=R, num_options=K,
+                       batch_size=4, img_feat_size=1)
+    # scale params away from init: a fresh init's LM is near-uniform, so
+    # every token costs ~ln(V) and removing a round would not move the
+    # mean measurably
+    params = jax.tree.map(lambda x: x * 5.0,
+                          model_init(jax.random.PRNGKey(0), cfg))
+    batch = BatchAssembler(split, vocab, cfg).assemble(
+        np.arange(4), with_options=False).as_dict()
+    loss = float(model_loss(params, batch, cfg, train=False, impl="xla"))
+
+    # removing that round's answer must CHANGE the gen loss (its tokens
+    # were in the masked mean, i.e. the round trains despite round_valid=0)
+    b2 = dict(batch)
+    ai = np.array(batch["ans_in"]);  ao = np.array(batch["ans_out"])
+    ai[0, 1, 1:] = 0
+    ao[0, 1, :] = 0
+    b2["ans_in"], b2["ans_out"] = ai, ao
+    loss2 = float(model_loss(params, b2, cfg, train=False, impl="xla"))
+    assert abs(loss - loss2) > 1e-5
+
+    # ...whereas an answerless round's spurious lone-<END> target (what
+    # the loader emits for padded rounds) must contribute NOTHING
+    b3 = dict(b2)
+    ao3 = np.array(ao)
+    ao3[0, 1, 0] = vocab.end
+    b3["ans_out"] = ao3
+    loss3 = float(model_loss(params, b3, cfg, train=False, impl="xla"))
+    assert loss3 == loss2

@@ -42,7 +42,7 @@ DECODERS = ("gen", "disc")
 # against old weights.
 RESUME_OVERRIDABLE = frozenset({
     "num_epochs", "use_pallas", "compute_dtype", "remat",
-    "mesh_data", "mesh_model",
+    "mesh_data", "mesh_model", "gen_eval_bucketed",
     "data_dir", "save_path", "eval_every", "save_every", "log_every",
 })
 

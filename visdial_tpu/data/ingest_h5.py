@@ -105,6 +105,24 @@ def _detect_opt_base(opt: np.ndarray, num_rows: int) -> int:
         f"table indices out of range: min={mn} max={mx} rows={num_rows}")
 
 
+def _detect_pos_base(pos: np.ndarray, num_rows: int) -> int:
+    """Index base for img_pos — unlike option rows there is no content
+    check available, so only an UNAMBIGUOUS bound is accepted: a silent
+    wrong guess would pair every dialog with the wrong image features.
+    """
+    mx, mn = int(pos.max()), int(pos.min())
+    if mn == 0 and mx <= num_rows - 1:
+        return 0
+    if mn >= 1 and mx == num_rows:
+        return 1
+    raise ValueError(
+        f"img_pos base is ambiguous (min={mn}, max={mx}, feature rows="
+        f"{num_rows}): neither 0 nor the row count appears. Repack the "
+        "artifacts with explicit 0-based img_pos (e.g. via "
+        "`python -m visdial_tpu.data.ingest_h5` on a corrected file) "
+        "rather than risking silently shifted image features.")
+
+
 def _gt_positions(ans_index: np.ndarray, opt_rows: np.ndarray) -> np.ndarray:
     """ans_index (N, R) -> GT position in [0, K).
 
@@ -166,7 +184,7 @@ def load_reference_split(data_h5: str, params_json: str, img_h5: str,
     n = ques.shape[0]
     if img_pos is not None:
         img_pos = np.asarray(img_pos).astype(np.int64)
-        pos_base = _detect_opt_base(img_pos, img.shape[0])
+        pos_base = _detect_pos_base(img_pos, img.shape[0])
         img_feat = img[img_pos - pos_base]
         img_ids = img_pos - pos_base
     else:

@@ -111,9 +111,11 @@ def build_split(data: dict, vocab: Vocabulary, cfg_caps: dict,
         # v0.9-style train dialogs always carry num_rounds fully annotated
         # rounds; v1.0 val/test dialogs may have fewer rounds, or rounds
         # missing the answer (test) or the candidate list.  Short dialogs
-        # are zero-padded and every incompletely annotated round is masked
-        # out of loss and metrics via round_valid (behavior of record —
-        # the empty-mount rule in SURVEY.md §0: decide + document).
+        # are zero-padded; round_valid marks RANKABLE rounds (full
+        # candidate list + gt) and gates disc loss and retrieval metrics.
+        # Gen training masks on answer presence instead (gen_loss), so an
+        # answer-only round still trains the LM.  (Behavior of record —
+        # the empty-mount rule in SURVEY.md §0: decide + document.)
         rounds = d["dialog"][:num_rounds]
         for r, turn in enumerate(rounds):
             qi, ai = int(turn["question"]), int(turn.get("answer", -1))
@@ -130,7 +132,10 @@ def build_split(data: dict, vocab: Vocabulary, cfg_caps: dict,
                     gt = opts.index(ai)
                 if gt is not None:
                     gt_ind[i, r] = int(gt)
-                    assert opts[gt_ind[i, r]] == ai, (
+                    # content check only when the (redundant) answer field
+                    # is present — some exports omit it, gt_index alone is
+                    # enough to rank
+                    assert ai < 0 or opts[gt_ind[i, r]] == ai, (
                         f"dialog {i} round {r}: gt_index does not point at "
                         "the ground-truth answer")
                     round_valid[i, r] = 1

@@ -55,28 +55,48 @@ def _combine_fn(brk: int):
 
 
 def _staged(iterable, stage):
-    """Yield stage(item) one ahead of consumption (background thread)."""
+    """Yield stage(item) one ahead of consumption (background thread).
+
+    The producer checks a stop flag around its bounded put so that a
+    consumer abandoning the generator mid-split (an exception downstream)
+    releases the thread and the staged device buffers it holds instead of
+    leaking them blocked on a full queue.
+    """
     import queue
     import threading
 
     q: queue.Queue = queue.Queue(maxsize=2)
+    stop = threading.Event()
 
     def produce():
         try:
             for item in iterable:
-                q.put(stage(item))
+                staged = stage(item)
+                while not stop.is_set():
+                    try:
+                        q.put(staged, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
             q.put(None)
         except BaseException as e:  # surface in the consumer, don't hang it
             q.put(e)
 
     threading.Thread(target=produce, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is None:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():  # drop staged leftovers so buffers free
+            q.get_nowait()
 
 
 class _GenBucketPlan:
@@ -96,18 +116,30 @@ class _GenBucketPlan:
         widths = sorted({max(2, (T_full + 2) // 3),
                          max(3, (2 * T_full + 2) // 3), T_full})
         self.widths = widths
-        # row width requirement per candidate row of every batch
-        lens = data.opt_list_len[data.opt_inds] + 1          # (N, R, K)
         n, bs = data.num_dialogs, batch_size
         edges = np.asarray(widths)
         caps = np.zeros(len(widths), np.int64)
+        # one batch of the (N, R, K) lens at a time — the full array is
+        # ~160 MB at v0.9-val scale and this runs once per (split, bs)
         for s in range(0, n, bs):
             idx = np.arange(s, min(s + bs, n))
             if len(idx) < bs:                                # pad_to repeats
                 idx = np.concatenate([idx, np.repeat(idx[-1:], bs - len(idx))])
-            b = np.searchsorted(edges, lens[idx].reshape(-1))
+            lens = data.opt_list_len[data.opt_inds[idx]] + 1
+            b = np.searchsorted(edges, lens.reshape(-1))
             caps = np.maximum(caps, np.bincount(b, minlength=len(widths)))
         self.caps = [int(-(-c // 128) * 128) for c in caps]
+
+    @classmethod
+    def cached(cls, data: VisDialSplit, cfg: Config,
+               batch_size: int) -> "_GenBucketPlan":
+        """Reuse the plan across evaluate_split calls (it is a pure
+        function of the split's option arrays and the batch size)."""
+        cache = data.__dict__.setdefault("_gen_bucket_plans", {})
+        key = (batch_size, int(data.opt_list.shape[1]))
+        if key not in cache:
+            cache[key] = cls(data, cfg, batch_size)
+        return cache[key]
 
     def assign(self, opt_len: np.ndarray) -> list[np.ndarray]:
         """Flat row positions per bucket for one batch (opt_len (B,R,K))."""
@@ -157,7 +189,7 @@ def evaluate_split(params, data: VisDialSplit, vocab: Vocabulary,
         from .parallel.mesh import replicated
 
         encoder_fn, row_fn = gen_fns or make_gen_bucket_eval_fns(cfg, mesh)
-        plan = _GenBucketPlan(data, cfg, loader.bs)
+        plan = _GenBucketPlan.cached(data, cfg, loader.bs)
         rep = replicated(mesh)
         opt_list_dev = jax.device_put(data.opt_list, rep)
         opt_len_dev = jax.device_put(data.opt_list_len.astype(np.int32), rep)

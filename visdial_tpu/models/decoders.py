@@ -82,11 +82,14 @@ def gen_loss(params, embed_params, joint, batch, cfg: Config,
     N = joint.shape[0]
     tokens_in = batch["ans_in"].reshape(N, -1)
     tokens_out = batch["ans_out"].reshape(N, -1)
-    if (valid := batch.get("round_valid")) is not None:
-        # Incompletely annotated rounds (v1.0 short/test dialogs) carry a
-        # lone <END> target after padding — zeroing their targets removes
-        # them from the masked NLL.  All-ones masks are a no-op.
-        tokens_out = tokens_out * valid.reshape(N, 1)
+    # Gen training needs only the answer, not the candidate list, so its
+    # mask is "round has an answer" — NOT round_valid, which additionally
+    # requires candidates+gt (rankability; that stricter mask belongs to
+    # disc_loss and the metrics).  An answerless round (padded/truncated
+    # v1.0 dialog, test-split round) has ans_in = [<START>, 0, ...]; its
+    # lone <END> target is zeroed out here.  No-op for v0.9 data.
+    has_answer = (tokens_in[:, 1] != 0).astype(tokens_out.dtype)
+    tokens_out = tokens_out * has_answer[:, None]
     logits = gen_logits(params, embed_params, joint, tokens_in, cfg,
                         train=train, rng=rng, impl=impl)
     return masked_nll(logits, tokens_out)
