@@ -173,6 +173,13 @@ class BatchAssembler:
             self.img_feat = (feats / np.maximum(norm, 1e-8)).astype(np.float32)
         else:
             self.img_feat = data.img_feat.astype(np.float32)
+        if config.compute_dtype == "bfloat16":
+            # The encoder casts img to the compute dtype on device anyway;
+            # casting once here halves the batch's largest array in host
+            # RAM and on the host->device wire, bit-identically.
+            import ml_dtypes
+
+            self.img_feat = self.img_feat.astype(ml_dtypes.bfloat16)
 
     # -- history --------------------------------------------------------
     def _hist_flat(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
