@@ -59,3 +59,19 @@ def test_bucketed_respects_round_valid():
     params = init_train_state(cfg).params
     m = evaluate_split(params, split, vocab, cfg, mesh)
     assert m["num_examples"] == int(rv.sum())
+
+
+def test_bucketed_on_mesh_matches_single_device_direct():
+    """The bucketed path's replicated-joint + replicated-index layout must
+    produce single-device-direct metrics over the full 8-device mesh."""
+    cfg, split, vocab = _setup()
+    params = init_train_state(cfg).params
+    mesh1 = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    direct = evaluate_split(params, split, vocab, cfg, mesh1,
+                            eval_fn=make_eval_fn(cfg, mesh1),
+                            table_fns=False, gen_fns=False)
+    mesh8 = make_mesh(data=8, model=1)   # batch must cover the data axis
+    bucketed = evaluate_split(params, split, vocab, cfg, mesh8, batch_size=8)
+    for k in ("mrr", "r@1", "r@5", "r@10", "mean_rank", "num_examples"):
+        np.testing.assert_allclose(bucketed[k], direct[k], rtol=1e-6,
+                                   err_msg=k)
