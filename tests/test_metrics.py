@@ -48,3 +48,60 @@ def test_tie_conventions():
     assert int(ranks_from_scores(scores, gt, "optimistic")[0]) == 1
     assert int(ranks_from_scores(scores, gt, "pessimistic")[0]) == 3
     assert float(ranks_from_scores(scores, gt, "mean")[0]) == 2.0
+
+
+# ---- v1.0 protocol additions: full rankings + NDCG ----
+
+from visdial_tpu.utils.metrics import candidate_rankings, ndcg_scores  # noqa: E402
+
+
+def test_candidate_rankings_basic_and_ties():
+    scores = np.array([[0.1, 0.9, 0.5, 0.9]])
+    # stable tie-break: index 1 outranks index 3 at equal score
+    np.testing.assert_array_equal(
+        np.asarray(candidate_rankings(scores))[0], [4, 1, 3, 2])
+
+
+def test_candidate_rankings_is_permutation_and_matches_gt_rank():
+    rng = np.random.default_rng(0)
+    scores = rng.standard_normal((5, 7, 20))  # continuous: no ties
+    cr = np.asarray(candidate_rankings(scores))
+    assert (np.sort(cr, axis=-1) == np.arange(1, 21)).all()
+    gt = rng.integers(0, 20, (5, 7))
+    want = np.asarray(ranks_from_scores(scores, gt))
+    got = np.take_along_axis(cr, gt[..., None], axis=-1)[..., 0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ndcg_hand_computed():
+    rel = np.array([[0.0, 1.0, 0.0, 0.5]])
+    # perfect: candidate 1 ranked first, candidate 3 second
+    perfect = np.array([[3, 1, 4, 2]])
+    np.testing.assert_allclose(ndcg_scores(perfect, rel), [1.0])
+    # identity order: K=2, DCG = 1/log2(3); IDCG = 1/log2(2) + 0.5/log2(3)
+    identity = np.array([[1, 2, 3, 4]])
+    want = (1 / np.log2(3)) / (1.0 + 0.5 / np.log2(3))
+    np.testing.assert_allclose(ndcg_scores(identity, rel), [want])
+
+
+def test_ndcg_no_relevant_is_zero():
+    np.testing.assert_array_equal(
+        ndcg_scores(np.array([[1, 2, 3]]), np.zeros((1, 3))), [0.0])
+
+
+def test_ndcg_matches_naive_reference():
+    """Vectorized NDCG == a per-row loop transliteration of the official
+    v1.0 evaluation (K = #relevant, raw-relevance gains, log2 discounts)."""
+    rng = np.random.default_rng(1)
+    K = 10
+    rel = rng.uniform(0, 1, (8, K)) * (rng.uniform(size=(8, K)) < 0.4)
+    cr = np.asarray(candidate_rankings(rng.standard_normal((8, K))))
+    want = []
+    for i in range(8):
+        k = int((rel[i] > 0).sum())
+        order = np.argsort(cr[i])          # predicted rank order
+        dcg = sum(rel[i][order[j]] / np.log2(j + 2) for j in range(k))
+        ideal = np.sort(rel[i])[::-1]
+        idcg = sum(ideal[j] / np.log2(j + 2) for j in range(k))
+        want.append(dcg / idcg if idcg > 0 else 0.0)
+    np.testing.assert_allclose(ndcg_scores(cr, rel), want, atol=1e-12)

@@ -1,0 +1,123 @@
+"""Cross-framework parity: our masked LSTM vs torch.nn.LSTM.
+
+The reference's recurrence is Element-Research rnn `SeqLSTM` (+ MaskZero),
+whose cell math is the standard Torch LSTM — the same equations, gate
+order (i, f, g, o) and weight layout that live on in `torch.nn.LSTM`.
+With the reference itself unreadable (SURVEY.md §0), PyTorch's LSTM is the
+closest executable relative of the reference cell, and this test pins our
+implementation against it independently of our own numpy twin
+(tests/test_lstm.py), closing the "same-author reference" loophole.
+
+Weight mapping: our per-layer W is ([x; h], 4H) — W[:E].T == weight_ih,
+W[E:].T == weight_hh, and our single bias b == bias_ih + bias_hh.
+
+Masking: torch.nn.LSTM has no mask, so the torch side runs each row's
+real tokens only; ours runs the right-aligned padded batch.  Equality of
+final states and of outputs at real positions verifies both the cell math
+and the carry-through-pad semantics in one shot.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from visdial_tpu.ops.lstm import lstm_init, lstm_step, masked_lstm
+
+torch = pytest.importorskip("torch")
+
+
+def _to_torch_lstm(params, input_size, hidden_size, num_layers):
+    """Build a torch.nn.LSTM carrying exactly our parameters."""
+    m = torch.nn.LSTM(input_size, hidden_size, num_layers, batch_first=True)
+    with torch.no_grad():
+        for li, layer in enumerate(params["layers"]):
+            w = np.asarray(layer["w"], np.float64)
+            b = np.asarray(layer["b"], np.float64)
+            in_dim = input_size if li == 0 else hidden_size
+            getattr(m, f"weight_ih_l{li}").copy_(
+                torch.from_numpy(w[:in_dim].T.copy()).float())
+            getattr(m, f"weight_hh_l{li}").copy_(
+                torch.from_numpy(w[in_dim:].T.copy()).float())
+            getattr(m, f"bias_ih_l{li}").copy_(torch.from_numpy(b).float())
+            getattr(m, f"bias_hh_l{li}").zero_()
+    return m.eval()
+
+
+@pytest.mark.parametrize("num_layers", [1, 2])
+def test_masked_lstm_matches_torch(num_layers):
+    B, T, E, H = 4, 7, 6, 5
+    params = lstm_init(jax.random.PRNGKey(0), E, H, num_layers)
+    rng = np.random.default_rng(0)
+    lengths = np.array([7, 4, 1, 6])
+    x = rng.standard_normal((B, T, E)).astype(np.float32)
+    # right-aligned: row i has T - lengths[i] leading pads
+    mask = np.zeros((B, T), np.float32)
+    for i, L in enumerate(lengths):
+        mask[i, T - L:] = 1.0
+        x[i, : T - L] = 0.0
+
+    outs, (hf, cf) = masked_lstm(params, jnp.asarray(x), jnp.asarray(mask))
+    outs, hf, cf = map(np.asarray, (outs, hf, cf))
+
+    m = _to_torch_lstm(params, E, H, num_layers)
+    with torch.no_grad():
+        for i, L in enumerate(lengths):
+            xi = torch.from_numpy(x[i:i + 1, T - L:])
+            oi, (hi, ci) = m(xi)
+            np.testing.assert_allclose(
+                outs[i, T - L:], oi[0].numpy(), atol=2e-5,
+                err_msg=f"row {i} outputs")
+            np.testing.assert_allclose(
+                hf[:, i], hi[:, 0].numpy(), atol=2e-5,
+                err_msg=f"row {i} final h")
+            np.testing.assert_allclose(
+                cf[:, i], ci[:, 0].numpy(), atol=2e-5,
+                err_msg=f"row {i} final c")
+
+
+def test_seeded_initial_state_matches_torch():
+    """The forwardConnect path (h0/c0 != 0) agrees with torch too."""
+    B, T, E, H, L = 3, 5, 4, 6, 2
+    params = lstm_init(jax.random.PRNGKey(1), E, H, L)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((B, T, E)).astype(np.float32)
+    h0 = rng.standard_normal((L, B, H)).astype(np.float32) * 0.5
+    c0 = rng.standard_normal((L, B, H)).astype(np.float32) * 0.5
+
+    _, (hf, cf) = masked_lstm(params, jnp.asarray(x), jnp.ones((B, T)),
+                              jnp.asarray(h0), jnp.asarray(c0))
+    m = _to_torch_lstm(params, E, H, L)
+    with torch.no_grad():
+        _, (ht, ct) = m(torch.from_numpy(x),
+                        (torch.from_numpy(h0), torch.from_numpy(c0)))
+    np.testing.assert_allclose(np.asarray(hf), ht.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cf), ct.numpy(), atol=2e-5)
+
+
+def test_decode_step_matches_torch_cell():
+    """lstm_step (token-by-token generation path) == torch.nn.LSTMCell."""
+    B, E, H = 3, 4, 5
+    params = lstm_init(jax.random.PRNGKey(2), E, H, num_layers=1)
+    rng = np.random.default_rng(2)
+    x_t = rng.standard_normal((B, E)).astype(np.float32)
+    h = rng.standard_normal((1, B, H)).astype(np.float32)
+    c = rng.standard_normal((1, B, H)).astype(np.float32)
+
+    top, h_new, c_new = lstm_step(params, jnp.asarray(x_t),
+                                  jnp.asarray(h), jnp.asarray(c))
+
+    cell = torch.nn.LSTMCell(E, H)
+    w = np.asarray(params["layers"][0]["w"], np.float64)
+    b = np.asarray(params["layers"][0]["b"], np.float64)
+    with torch.no_grad():
+        cell.weight_ih.copy_(torch.from_numpy(w[:E].T.copy()).float())
+        cell.weight_hh.copy_(torch.from_numpy(w[E:].T.copy()).float())
+        cell.bias_ih.copy_(torch.from_numpy(b).float())
+        cell.bias_hh.zero_()
+        ht, ct = cell(torch.from_numpy(x_t),
+                      (torch.from_numpy(h[0]), torch.from_numpy(c[0])))
+    np.testing.assert_allclose(np.asarray(top), ht.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h_new[0]), ht.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c_new[0]), ct.numpy(), atol=2e-5)

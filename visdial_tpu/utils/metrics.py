@@ -8,6 +8,14 @@ Tie-breaking (SURVEY.md §3.2 flags this as re-verify): we define rank as
   rank(gt) = 1 + #{k : score_k > score_gt} ,
 i.e. ties do NOT push the ground truth down.  This is the optimistic
 convention and is the documented behavior of record for this rebuild.
+
+Beyond the reference's v0.9 protocol, this module also implements the
+VisDial v1.0 evaluation additions (the protocol the reference repo's
+ecosystem moved to): per-candidate full rankings in the challenge
+submission convention (`candidate_rankings`) and NDCG over dense
+ground-truth relevance annotations (`ndcg_scores`), following the official
+challenge evaluation: K = number of candidates with nonzero relevance,
+gains are the raw relevance values, discount 1/log2(position + 1).
 """
 
 from __future__ import annotations
@@ -46,6 +54,55 @@ def ranks_from_scores(scores, gt_index, ties: str = "optimistic"):
     if ties == "mean":
         return higher.astype(jnp.float32) + equal.astype(jnp.float32) / 2 + 1
     raise ValueError(f"unknown ties convention {ties!r}")
+
+
+def candidate_rankings(scores):
+    """1-indexed rank of EVERY candidate, descending scores.
+
+    Ties break by candidate index order (stable sort) — the deterministic
+    convention of the v1.0 challenge submission format, where each round
+    dumps the full permutation `ranks[k] = position of option k`.
+
+    Args:
+      scores: (..., K) float.
+    Returns:
+      (..., K) int32 permutation of 1..K per row.
+    """
+    scores = jnp.asarray(scores)
+    order = jnp.argsort(-scores, axis=-1, stable=True)
+    return (jnp.argsort(order, axis=-1, stable=True) + 1).astype(jnp.int32)
+
+
+def ndcg_scores(cand_ranks, relevance) -> np.ndarray:
+    """Per-row NDCG from predicted candidate rankings and dense relevance.
+
+    Official VisDial v1.0 NDCG: with K = #{k : relevance_k > 0},
+      DCG@K  = sum_{i=1..K} rel(candidate ranked i) / log2(i + 1)
+      IDCG@K = the same over relevance sorted descending
+      NDCG   = DCG@K / IDCG@K        (0 when a row has no relevant candidate)
+
+    Args:
+      cand_ranks: (N, K) int — 1-indexed permutations (candidate_rankings).
+      relevance:  (N, K) float — dense gt_relevance in [0, 1].
+    Returns:
+      (N,) float64 NDCG per row.
+    """
+    cand_ranks = np.asarray(cand_ranks)
+    relevance = np.asarray(relevance, dtype=np.float64)
+    N, K = relevance.shape
+    assert cand_ranks.shape == (N, K)
+    # relevance re-ordered into predicted rank order (position i = rank i+1)
+    order = np.argsort(cand_ranks, axis=-1, kind="stable")
+    rel_pred = np.take_along_axis(relevance, order, axis=-1)
+    rel_ideal = -np.sort(-relevance, axis=-1)
+    k = (relevance > 0).sum(axis=-1)                      # per-row cutoff
+    discounts = 1.0 / np.log2(np.arange(2, K + 2, dtype=np.float64))
+    within_k = np.arange(K)[None, :] < k[:, None]
+    dcg = (rel_pred * discounts * within_k).sum(axis=-1)
+    idcg = (rel_ideal * discounts * within_k).sum(axis=-1)
+    out = np.zeros(N, np.float64)
+    np.divide(dcg, idcg, out=out, where=idcg > 0)
+    return out
 
 
 def retrieval_metrics(ranks) -> dict[str, float]:
