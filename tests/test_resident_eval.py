@@ -1,0 +1,62 @@
+"""Device-resident disc eval == the streaming harness, bit-for-bit ranks.
+
+The resident path (eval_harness._ResidentDiscEval) stages the whole split
+on device and scores it in one jitted lax.scan dispatch; it must produce
+exactly the metrics of the streaming table path (same math, different
+staging), reuse its cache across calls, and fall back to streaming when
+the stacks exceed the byte cap.
+"""
+
+import numpy as np
+
+import jax
+
+from conftest import small_config
+
+from visdial_tpu.data.synthetic import make_synthetic_split
+from visdial_tpu.eval_harness import evaluate_split
+from visdial_tpu.parallel.mesh import make_mesh
+from visdial_tpu.parallel.train_step import init_train_state
+
+METRIC_KEYS = ("mrr", "r@1", "r@5", "r@10", "mean_rank", "num_examples")
+
+
+def _setup(encoder, num_dialogs=20, batch_size=8, data=8, model=1):
+    cfg = small_config(encoder=encoder, decoder="disc",
+                       batch_size=batch_size)
+    split, vocab = make_synthetic_split(cfg, num_dialogs=num_dialogs, seed=5)
+    cfg = cfg.replace(vocab_size=vocab.size)
+    n = data * model
+    mesh = make_mesh(data=data, model=model, devices=jax.devices()[:n])
+    return init_train_state(cfg).params, split, vocab, cfg, mesh
+
+
+def test_resident_matches_streaming_on_mesh():
+    params, split, vocab, cfg, mesh = _setup("mn-ques-im-hist")
+    streamed = evaluate_split(params, split, vocab, cfg, mesh)
+    res = evaluate_split(params, split, vocab, cfg, mesh, resident=True)
+    assert "resident_cache_seconds" in res
+    for k in METRIC_KEYS:
+        assert np.isclose(res[k], streamed[k], atol=1e-9), k
+    # second call reuses the cached stacks/program (no rebuild)
+    again = evaluate_split(params, split, vocab, cfg, mesh, resident=True)
+    assert again["resident_cache_seconds"] == res["resident_cache_seconds"]
+    assert np.isclose(again["mrr"], res["mrr"], atol=1e-9)
+
+
+def test_resident_lf_incremental_history_path():
+    params, split, vocab, cfg, mesh = _setup("lf-ques-im-hist",
+                                             data=1, batch_size=4)
+    streamed = evaluate_split(params, split, vocab, cfg, mesh)
+    res = evaluate_split(params, split, vocab, cfg, mesh, resident=True)
+    for k in METRIC_KEYS:
+        assert np.isclose(res[k], streamed[k], atol=1e-9), k
+
+
+def test_resident_byte_cap_falls_back_to_streaming():
+    params, split, vocab, cfg, mesh = _setup("lf-ques-hist",
+                                             data=1, batch_size=4)
+    res = evaluate_split(params, split, vocab, cfg, mesh, resident=True,
+                         resident_max_bytes=16)
+    assert "resident_cache_seconds" not in res       # streamed
+    assert res["num_examples"] == 20 * cfg.num_rounds

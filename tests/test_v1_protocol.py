@@ -1,0 +1,90 @@
+"""v1.0 protocol additions at the harness/CLI level: full candidate
+rankings (challenge submission dump) and NDCG over dense annotations.
+
+The reference repo itself predates these (v0.9-era evaluate.lua), but its
+ecosystem's v1.0 protocol is the natural completion of the eval surface;
+prepro/loader already carry the variable-round v1.0 shapes (round_valid).
+"""
+
+import json
+
+import numpy as np
+
+import jax
+
+from conftest import small_config
+
+from visdial_tpu.data.synthetic import make_synthetic_split
+from visdial_tpu.eval_harness import evaluate_split
+from visdial_tpu.evaluate import main as evaluate_main
+from visdial_tpu.parallel.mesh import make_mesh
+from visdial_tpu.parallel.train_step import init_train_state
+from visdial_tpu.train import main as train_main
+
+TRAIN_ARGS = [
+    "--synthetic", "16", "--encoder", "lf-ques-im", "--decoder", "disc",
+    "--embed_size", "8", "--rnn_hidden_size", "16", "--img_feat_size", "16",
+    "--max_ques_len", "4", "--max_ans_len", "3", "--max_cap_len", "5",
+    "--num_rounds", "3", "--num_options", "5", "--batch_size", "8",
+    "--dropout", "0.0", "--log_every", "100", "--max_steps", "2",
+    "--save_every", "2",
+]
+
+
+def test_collect_rankings_consistent_with_metrics():
+    """cand_ranks are per-round permutations and reproduce the MRR the
+    harness computes from GT ranks (continuous scores: no ties)."""
+    cfg = small_config(encoder="lf-ques-hist", decoder="disc",
+                       num_options=8, batch_size=4)
+    split, vocab = make_synthetic_split(cfg, num_dialogs=10, seed=3)
+    cfg = cfg.replace(vocab_size=vocab.size)
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    params = init_train_state(cfg).params
+
+    metrics, cand = evaluate_split(params, split, vocab, cfg, mesh,
+                                   collect_rankings=True)
+    assert cand.shape == (10, cfg.num_rounds, cfg.num_options)
+    assert (np.sort(cand, axis=-1) == np.arange(1, cfg.num_options + 1)).all()
+    gt_rank = np.take_along_axis(cand, split.gt_ind[..., None], -1)[..., 0]
+    assert np.isclose(metrics["mrr"], np.mean(1.0 / gt_rank), atol=1e-6)
+    # and the non-collecting call returns identical metrics
+    plain = evaluate_split(params, split, vocab, cfg, mesh)
+    assert np.isclose(plain["mrr"], metrics["mrr"], atol=1e-9)
+
+
+def test_evaluate_cli_save_ranks_and_ndcg(tmp_path):
+    root = str(tmp_path)
+    train_main(TRAIN_ARGS + ["--save_path", root, "--run_name", "run"])
+    load = f"{root}/run/step_00000002"
+    ranks_path = f"{root}/ranks.json"
+    eval_args = ["--load_path", load, "--synthetic", "16",
+                 "--save_ranks", ranks_path]
+    evaluate_main(eval_args)
+
+    with open(ranks_path) as f:
+        sub = json.load(f)
+    assert len(sub) == 16 * 3                       # every (dialog, round)
+    for e in sub:
+        assert 1 <= e["round_id"] <= 3
+        assert sorted(e["ranks"]) == [1, 2, 3, 4, 5]
+
+    # dense annotations derived from the dump: relevance 1.0 on each
+    # round-1 top-ranked candidate -> plumbing must score a perfect NDCG;
+    # plus one unknown image -> counted missing, not crashed on.
+    by_img = {}
+    for e in sub:
+        if e["round_id"] == 1:
+            by_img[e["image_id"]] = e["ranks"]
+    dense = [{"image_id": img, "round_id": 1,
+              "gt_relevance": [1.0 if r == 1 else 0.0 for r in ranks]}
+             for img, ranks in list(by_img.items())[:4]]
+    dense.append({"image_id": 999999999, "round_id": 1,
+                  "gt_relevance": [0.0, 1.0, 0.0, 0.0, 0.0]})
+    dense_path = f"{root}/dense.json"
+    with open(dense_path, "w") as f:
+        json.dump(dense, f)
+
+    metrics = evaluate_main(eval_args + ["--dense_json", dense_path])
+    assert metrics["ndcg_rounds"] == 4
+    assert metrics["ndcg_missing"] == 1
+    assert np.isclose(metrics["ndcg"], 1.0)

@@ -25,7 +25,11 @@ from .parallel.train_step import (
     make_eval_fn,
     make_gen_bucket_eval_fns,
 )
-from .utils.metrics import ranks_from_scores, retrieval_metrics
+from .utils.metrics import (
+    candidate_rankings,
+    ranks_from_scores,
+    retrieval_metrics,
+)
 
 # Batch fields any encoder reads; everything else an eval fast path needs
 # stays on the host or is gathered on device from once-uploaded tables.
@@ -38,6 +42,12 @@ def _rank_fn(ties: str):
     """Jitted on-device rank computation; memoized so repeated evals in a
     training run reuse the compiled program."""
     return jax.jit(functools.partial(ranks_from_scores, ties=ties))
+
+
+@functools.lru_cache(maxsize=None)
+def _cand_rank_fn():
+    """Jitted full-permutation ranking (v1.0 dump/NDCG path)."""
+    return jax.jit(candidate_rankings)
 
 
 @functools.lru_cache(maxsize=None)
@@ -148,10 +158,94 @@ class _GenBucketPlan:
         return [np.flatnonzero(b == i) for i in range(len(self.widths))]
 
 
+class _ResidentDiscEval:
+    """Whole-split disc eval with the split RESIDENT on device.
+
+    The streaming harness below re-ships every batch from the host each
+    eval; on a high-latency host<->device link (this box's tunneled chip:
+    ~30 ms/sync, ~30 MB/s put) that transfer bounds end-to-end throughput
+    well under the device's compute roofline.  This path assembles every
+    eval batch once, uploads the stacked arrays once — (nb, bs, ...) with
+    the dialog axis sharded over 'data' — and scores the entire split in
+    ONE dispatch: a jitted lax.scan over batches (encoder forward + option
+    table gather + on-device GT ranks), with a single (nb, bs, R) int32
+    readback.  Repeated evals (the train loop's periodic eval, sweeps,
+    benchmarks) then run at pure-device speed; only the option table is
+    rebuilt per call (it depends on params).
+
+    Exact same scores as the streaming table path (same jitted math, no
+    dropout at eval).  Memory: the stacks are the split's eval arrays —
+    ~0.6 GB at VisDial-v0.9-val scale, gated by `max_bytes` with a
+    streaming fallback.
+    """
+
+    def __init__(self, data: VisDialSplit, vocab: Vocabulary, cfg: Config,
+                 mesh, batch_size: int, ties: str, max_bytes: int):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel.train_step import state_shardings
+        from .parallel.mesh import replicated
+
+        t0 = time.time()
+        loader = EvalLoader(data, vocab, cfg, batch_size=batch_size,
+                            option_tokens=False)
+        keys, host, valids = None, [], []
+        for b in loader:
+            d = b.as_dict()
+            if keys is None:
+                keys = tuple(k for k in _ENCODER_BATCH_KEYS
+                             + ("opt_inds", "gt_ind") if k in d)
+            host.append([d[k] for k in keys])
+            valids.append(b.dialog_valid.astype(bool)[:, None]
+                          & b.round_valid.astype(bool))
+        stacks_np = {k: np.stack([h[i] for h in host])
+                     for i, k in enumerate(keys)}
+        self.keep = np.stack(valids)                    # (nb, bs, R)
+        self.nbytes = sum(v.nbytes for v in stacks_np.values())
+        self.ok = self.nbytes <= max_bytes
+        if not self.ok:
+            return
+        stk = NamedSharding(mesh, P(None, "data"))
+        self.stacks = {k: jax.device_put(v, stk) for k, v in stacks_np.items()}
+
+        def run(params, table, stacks):
+            from .models.model import model_scores_with_table
+
+            def body(_, batch):
+                gt = batch.pop("gt_ind")
+                scores = model_scores_with_table(params, batch, table, cfg)
+                return _, ranks_from_scores(scores, gt, ties=ties)
+
+            _, ranks = jax.lax.scan(body, None, stacks)
+            return ranks                                # (nb, bs, R) on data
+
+        self.run = jax.jit(run, in_shardings=(
+            state_shardings(cfg, mesh).params, replicated(mesh),
+            {k: stk for k in self.stacks}))
+        # wait for the uploads so build time is accounted here, not in the
+        # first timed eval (block_until_ready is a no-op under the tunnel —
+        # a 1-element readback is the documented sync)
+        probe = next(iter(self.stacks.values()))
+        np.asarray(jax.device_get(probe[(0,) * probe.ndim]))
+        self.build_seconds = time.time() - t0
+
+    @classmethod
+    def cached(cls, data, vocab, cfg, mesh, batch_size, ties, max_bytes):
+        cache = data.__dict__.setdefault("_resident_eval", {})
+        key = (batch_size, cfg, tuple(sorted(mesh.shape.items())), ties)
+        if key not in cache:
+            cache[key] = cls(data, vocab, cfg, mesh, batch_size, ties,
+                             max_bytes)
+        return cache[key]
+
+
 def evaluate_split(params, data: VisDialSplit, vocab: Vocabulary,
                    cfg: Config, mesh, eval_fn=None, table_fns=None,
                    gen_fns=None, batch_size: int | None = None,
-                   ties: str = "optimistic") -> dict:
+                   ties: str = "optimistic",
+                   collect_rankings: bool = False,
+                   resident: bool = False,
+                   resident_max_bytes: int = 4 << 30):
     """Score all candidates over a split and compute retrieval metrics.
 
     Disc decoder takes the table fast path: the dedup'd option list is
@@ -166,7 +260,36 @@ def evaluate_split(params, data: VisDialSplit, vocab: Vocabulary,
     Returns the metric dict plus throughput: 'evals_per_sec' counts
     100-candidate ranking evaluations (i.e. dialog rounds scored) per
     second — the eval north-star in BASELINE.json.
+
+    collect_rankings=True additionally returns the full per-candidate
+    rankings as an (N, R, K) int32 array (1-indexed permutations; padded /
+    invalid rounds hold zeros) — the v1.0 challenge-dump / NDCG payload —
+    i.e. the return becomes ``(metrics, cand_ranks)``.
+
+    resident=True (disc only) caches the split's eval batches ON DEVICE
+    and scores the whole split in one dispatch (_ResidentDiscEval) —
+    identical scores, pure-device throughput on repeated evals; falls back
+    to streaming when the stacks exceed resident_max_bytes or the request
+    needs a feature the resident path lacks (gen decoder, rankings dump,
+    explicit eval_fn).
     """
+    if (resident and cfg.decoder == "disc" and not collect_rankings
+            and eval_fn is None):
+        res = _ResidentDiscEval.cached(
+            data, vocab, cfg, mesh,
+            batch_size or cfg.batch_size, ties, resident_max_bytes)
+        if res.ok:
+            table_fn, _ = table_fns or make_disc_table_eval_fns(cfg, mesh)
+            t0 = time.time()
+            table = table_fn(params, jnp.asarray(data.opt_list))
+            ranks = np.asarray(res.run(params, table, res.stacks))
+            elapsed = time.time() - t0
+            metrics = retrieval_metrics(ranks[res.keep])
+            metrics["evals_per_sec"] = int(res.keep.sum()) / max(elapsed, 1e-9)
+            metrics["eval_seconds"] = elapsed
+            metrics["resident_cache_seconds"] = res.build_seconds
+            metrics["resident_cache_bytes"] = res.nbytes
+            return metrics
     # An explicitly supplied eval_fn wins (callers forcing the direct path);
     # otherwise each decoder defaults to its fast path.
     use_table = (cfg.decoder == "disc" and table_fns is not False
@@ -246,17 +369,26 @@ def evaluate_split(params, data: VisDialSplit, vocab: Vocabulary,
         return shard_batch(d, mesh), batch
 
     rank_fn = _rank_fn(ties)
+    cand_fn = _cand_rank_fn() if collect_rankings else None
+    cand_ranks_out = (
+        np.zeros((data.num_dialogs, cfg.num_rounds, cfg.num_options),
+                 np.int32) if collect_rankings else None)
 
     all_ranks = []
     t0 = time.time()
     n_rounds = 0
 
     def consume(pending):
-        ranks_dev, batch = pending
+        ranks_dev, cand_dev, start, batch = pending
         ranks = np.asarray(ranks_dev)   # tiny (B, R) readback
         keep = (batch.dialog_valid.astype(bool)[:, None]
                 & batch.round_valid.astype(bool))
         all_ranks.append(ranks[keep])
+        if cand_dev is not None:
+            cand = np.asarray(cand_dev)            # (B, R, K)
+            n_real = min(start + cand.shape[0], data.num_dialogs) - start
+            cand_ranks_out[start:start + n_real] = np.where(
+                keep[:n_real, :, None], cand[:n_real], 0)
         return int(keep.sum())
 
     # Pipeline (3 stages deep): the staging thread assembles + device_puts
@@ -266,17 +398,20 @@ def evaluate_split(params, data: VisDialSplit, vocab: Vocabulary,
     # are computed ON DEVICE: the per-batch readback is (B, R) int32, not
     # the (B, R, K) score tensor.
     pending = None
-    for dev, batch in _staged(loader, stage):
+    for bi, (dev, batch) in enumerate(_staged(loader, stage)):
         scores = score(dev, batch)
         gt_dev = dev["gt_ind"] if "gt_ind" in dev else jnp.asarray(batch.gt_ind)
         ranks_dev = rank_fn(scores, gt_dev)
+        cand_dev = cand_fn(scores) if cand_fn is not None else None
         if pending is not None:
             n_rounds += consume(pending)
-        pending = (ranks_dev, batch)
+        pending = (ranks_dev, cand_dev, bi * loader.bs, batch)
     if pending is not None:
         n_rounds += consume(pending)
     elapsed = time.time() - t0
     metrics = retrieval_metrics(np.concatenate(all_ranks))
     metrics["evals_per_sec"] = n_rounds / max(elapsed, 1e-9)
     metrics["eval_seconds"] = elapsed
+    if collect_rankings:
+        return metrics, cand_ranks_out
     return metrics

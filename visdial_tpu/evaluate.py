@@ -4,9 +4,17 @@ Loads a checkpoint (which embeds its Config, like the reference's .t7
 embeds `opt`), rebuilds the model, ranks 100 candidates per round on the
 val split and prints MRR, R@1, R@5, R@10, mean rank.
 
+Beyond the reference's v0.9 protocol it also speaks the v1.0 additions:
+`--save_ranks` dumps the full per-candidate rankings in the challenge
+submission format (`[{"image_id", "round_id", "ranks": [K ints]}, ...]`),
+and `--dense_json` scores NDCG against dense gt_relevance annotations
+(the `visdial_1.0_val_dense_annotations.json` schema: one entry per
+image with the densely annotated round and its 100 relevance values).
+
 Usage:
     python -m visdial_tpu.evaluate --load_path checkpoints/run/step_00001000 \
-        [--data_dir data | --synthetic 64] [--batch_size 32]
+        [--data_dir data | --synthetic 64] [--batch_size 32] \
+        [--save_ranks ranks.json] [--dense_json dense_annotations.json]
 """
 
 from __future__ import annotations
@@ -14,12 +22,60 @@ from __future__ import annotations
 import argparse
 import json
 
+import numpy as np
+
 from .data.dataset import load_split
 from .data.synthetic import make_synthetic_split
 from .eval_harness import evaluate_split
 from .parallel.mesh import make_mesh
 from .utils.checkpoint import load_checkpoint
+from .utils.metrics import ndcg_scores
 from .utils.platform import apply_platform_env
+
+
+def ranks_to_submission(cand_ranks, img_ids, round_valid) -> list[dict]:
+    """Challenge-format ranks payload from an (N, R, K) rankings array.
+
+    One entry per valid (dialog, round); round_id is 1-indexed, matching
+    the v1.0 submission convention.
+    """
+    out = []
+    for i in range(cand_ranks.shape[0]):
+        for r in range(cand_ranks.shape[1]):
+            if round_valid[i, r]:
+                out.append({"image_id": int(img_ids[i]), "round_id": r + 1,
+                            "ranks": [int(x) for x in cand_ranks[i, r]]})
+    return out
+
+
+def ndcg_from_dense(cand_ranks, img_ids, dense_entries) -> dict:
+    """Mean NDCG over the densely annotated (image, round) pairs.
+
+    dense_entries: the v1.0 dense-annotation schema — a list of dicts with
+    `image_id`, `round_id` (1-indexed), `gt_relevance` (K floats).
+    Entries whose image is not in this split are skipped (counted).
+    """
+    by_img = {int(e["image_id"]): e for e in dense_entries}
+    rows, rels = [], []
+    missing = 0
+    for i, img in enumerate(np.asarray(img_ids)):
+        e = by_img.get(int(img))
+        if e is None:
+            continue
+        r = int(e["round_id"]) - 1
+        ranks_row = cand_ranks[i, r]
+        if not ranks_row.any():        # round not rankable in this split
+            missing += 1
+            continue
+        rows.append(ranks_row)
+        rels.append(np.asarray(e["gt_relevance"], np.float64))
+    matched_imgs = {int(i) for i in np.asarray(img_ids)} & set(by_img)
+    missing += len(by_img) - len(matched_imgs)
+    if not rows:
+        return {"ndcg": 0.0, "ndcg_rounds": 0, "ndcg_missing": missing}
+    vals = ndcg_scores(np.stack(rows), np.stack(rels))
+    return {"ndcg": float(vals.mean()), "ndcg_rounds": int(len(vals)),
+            "ndcg_missing": missing}
 
 
 def main(argv=None) -> dict:
@@ -37,6 +93,15 @@ def main(argv=None) -> dict:
     p.add_argument("--ties", type=str, default="optimistic",
                    choices=("optimistic", "pessimistic", "mean"),
                    help="rank convention for score ties (parity probing)")
+    p.add_argument("--resident", action="store_true",
+                   help="disc: cache the split's eval batches on device and "
+                        "score in one dispatch (fastest for repeated evals)")
+    p.add_argument("--save_ranks", type=str, default="",
+                   help="write full candidate rankings here in the v1.0 "
+                        "challenge submission JSON format")
+    p.add_argument("--dense_json", type=str, default="",
+                   help="v1.0 dense annotations JSON (gt_relevance per "
+                        "densely annotated round); adds NDCG to the metrics")
     args = p.parse_args(argv)
 
     state, cfg, _ = load_checkpoint(args.load_path)
@@ -52,9 +117,24 @@ def main(argv=None) -> dict:
     assert vocab.size == cfg.vocab_size, "checkpoint/vocab mismatch"
 
     mesh = make_mesh(cfg.mesh_data, cfg.mesh_model)
-    metrics = evaluate_split(state.params, data, vocab, cfg, mesh,
-                             batch_size=args.batch_size or None,
-                             ties=args.ties)
+    want_rankings = bool(args.save_ranks or args.dense_json)
+    out = evaluate_split(state.params, data, vocab, cfg, mesh,
+                         batch_size=args.batch_size or None,
+                         ties=args.ties, collect_rankings=want_rankings,
+                         resident=args.resident)
+    if want_rankings:
+        metrics, cand_ranks = out
+        round_valid = cand_ranks.any(axis=-1)
+        if args.save_ranks:
+            with open(args.save_ranks, "w") as f:
+                json.dump(ranks_to_submission(cand_ranks, data.img_ids,
+                                              round_valid), f)
+        if args.dense_json:
+            with open(args.dense_json) as f:
+                metrics.update(ndcg_from_dense(cand_ranks, data.img_ids,
+                                               json.load(f)))
+    else:
+        metrics = out
     print(json.dumps({"model": f"{cfg.encoder}-{cfg.decoder}",
                       "split": args.split, **metrics}))
     return metrics
