@@ -59,6 +59,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "JSONL events) for the first N steps — the "
                         "profiler-free timing story; slows training while "
                         "active (forces a device sync every step)")
+    p.add_argument("--eval_resident",
+                   type=lambda s: s.lower() in ("1", "true", "yes"),
+                   default=True,
+                   help="disc periodic eval: cache the val split on device "
+                        "and score it in one dispatch (auto-falls back to "
+                        "streaming when the split exceeds the byte cap)")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans: abort with a traceback the "
                         "step any NaN/Inf appears (the sanitizer story for "
@@ -221,7 +227,9 @@ def main(argv=None) -> dict:
                 metrics = evaluate_split(state.params, val_data, vocab, cfg,
                                          mesh, eval_fn=eval_fn,
                                          table_fns=table_fns,
-                                         gen_fns=gen_fns)
+                                         gen_fns=gen_fns,
+                                         resident=args.eval_resident,
+                                         resident_max_bytes=2 << 30)
                 last_eval = metrics
                 log.log({"event": "eval", "step": step, **metrics})
             if step % save_every == 0 or step >= max_steps:
