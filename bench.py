@@ -250,22 +250,21 @@ def bench_harness_e2e(cfg, num_dialogs: int = 512,
         out[key] = m["evals_per_sec"] / n_chips
         log(f"[jax] {decoder} eval end-to-end (harness): "
             f"{m['evals_per_sec']:.0f} evals/s")
-        if decoder == "disc":
-            # Device-resident split: upload-once stacks + one-dispatch scan;
-            # the warm number is what repeated evals (train-loop periodic
-            # eval, sweeps) see.
-            evaluate_split(params, split, vocab, dcfg, mesh,
-                           resident=True, **fns)   # build cache + compile
-            m2 = evaluate_split(params, split, vocab, dcfg, mesh,
-                                resident=True, **fns)
-            out["disc_eval_resident_per_sec_per_chip"] = \
-                m2["evals_per_sec"] / n_chips
-            out["disc_eval_resident_cache_seconds"] = \
-                m2["resident_cache_seconds"]
-            log(f"[jax] disc eval device-resident (warm): "
-                f"{m2['evals_per_sec']:.0f} evals/s "
-                f"(one-time cache {m2['resident_cache_seconds']:.2f}s, "
-                f"{m2['resident_cache_bytes'] / 1e6:.0f} MB)")
+        # Device-resident split: upload-once stacks + one-dispatch scan;
+        # the warm number is what repeated evals (train-loop periodic
+        # eval, sweeps) see.
+        evaluate_split(params, split, vocab, dcfg, mesh,
+                       resident=True, **fns)   # build cache + compile
+        m2 = evaluate_split(params, split, vocab, dcfg, mesh,
+                            resident=True, **fns)
+        out[f"{decoder}_eval_resident_per_sec_per_chip"] = \
+            m2["evals_per_sec"] / n_chips
+        out[f"{decoder}_eval_resident_cache_seconds"] = \
+            m2["resident_cache_seconds"]
+        log(f"[jax] {decoder} eval device-resident (warm): "
+            f"{m2['evals_per_sec']:.0f} evals/s "
+            f"(one-time cache {m2['resident_cache_seconds']:.2f}s, "
+            f"{m2['resident_cache_bytes'] / 1e6:.0f} MB)")
     return out
 
 

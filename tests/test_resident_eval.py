@@ -60,3 +60,23 @@ def test_resident_byte_cap_falls_back_to_streaming():
                          resident_max_bytes=16)
     assert "resident_cache_seconds" not in res       # streamed
     assert res["num_examples"] == 20 * cfg.num_rounds
+
+
+def test_gen_resident_matches_streaming():
+    """Gen resident path (bucketed scan, on-device candidates) == the
+    streaming bucketed harness, which itself equals the direct path
+    (tests/test_gen_bucketed.py)."""
+    cfg = small_config(encoder="mn-ques-im-hist", decoder="gen",
+                       batch_size=8)
+    split, vocab = make_synthetic_split(cfg, num_dialogs=20, seed=7)
+    cfg = cfg.replace(vocab_size=vocab.size)
+    mesh = make_mesh(data=8, model=1, devices=jax.devices()[:8])
+    params = init_train_state(cfg).params
+
+    streamed = evaluate_split(params, split, vocab, cfg, mesh)
+    res = evaluate_split(params, split, vocab, cfg, mesh, resident=True)
+    assert "resident_cache_seconds" in res
+    for k in METRIC_KEYS:
+        assert np.isclose(res[k], streamed[k], atol=1e-6), k
+    again = evaluate_split(params, split, vocab, cfg, mesh, resident=True)
+    assert again["resident_cache_seconds"] == res["resident_cache_seconds"]

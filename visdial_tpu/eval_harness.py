@@ -232,11 +232,122 @@ class _ResidentDiscEval:
     @classmethod
     def cached(cls, data, vocab, cfg, mesh, batch_size, ties, max_bytes):
         cache = data.__dict__.setdefault("_resident_eval", {})
-        key = (batch_size, cfg, tuple(sorted(mesh.shape.items())), ties)
+        key = (cls.__name__, batch_size, cfg,
+               tuple(sorted(mesh.shape.items())), ties)
         if key not in cache:
             cache[key] = cls(data, vocab, cfg, mesh, batch_size, ties,
                              max_bytes)
         return cache[key]
+
+
+class _ResidentGenEval:
+    """Whole-split gen eval resident on device (see _ResidentDiscEval).
+
+    The length-bucket structure of the streaming fast path is preserved —
+    every candidate row scores at the narrowest sufficient static width
+    (_GenBucketPlan, exact by construction) — but the per-batch bucket
+    index tensors are precomputed for the whole split, uploaded once, and
+    the scan body scores all buckets + scatters + ranks on device.  The
+    split's opt_list/opt_len upload is part of the cache (params-free), so
+    warm evals ship NOTHING to the device and read back one (nb, bs, R)
+    int32 array.
+    """
+
+    def __init__(self, data: VisDialSplit, vocab: Vocabulary, cfg: Config,
+                 mesh, batch_size: int, ties: str, max_bytes: int):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .models.encoders import encoder_apply
+        from .models.model import _impl
+        from .parallel.mesh import replicated
+        from .parallel.train_step import gen_rows_score, state_shardings
+
+        t0 = time.time()
+        plan = _GenBucketPlan.cached(data, cfg, batch_size)
+        active = [(w, c) for w, c in zip(plan.widths, plan.caps) if c > 0]
+        K = cfg.num_options
+        R = cfg.num_rounds
+        BRK = batch_size * R * K
+
+        loader = EvalLoader(data, vocab, cfg, batch_size=batch_size,
+                            option_tokens=False)
+        keys, host, valids = None, [], []
+        bucket_host = [{"rows": [], "ridx": [], "scat": []} for _ in active]
+        for b in loader:
+            d = b.as_dict()
+            if keys is None:
+                keys = tuple(k for k in _ENCODER_BATCH_KEYS + ("gt_ind",)
+                             if k in d)
+            host.append([d[k] for k in keys])
+            valids.append(b.dialog_valid.astype(bool)[:, None]
+                          & b.round_valid.astype(bool))
+            flat_rows = b.opt_inds.reshape(-1)
+            assign = plan.assign(b.opt_len)
+            ai = 0
+            for i, (width, cap) in enumerate(zip(plan.widths, plan.caps)):
+                if cap == 0:
+                    continue
+                rows = assign[i]
+                pad = cap - len(rows)
+                assert pad >= 0, (cap, len(rows))
+                rpad = np.pad(rows, (0, pad))
+                bucket_host[ai]["rows"].append(
+                    flat_rows[rpad].astype(np.int32))
+                bucket_host[ai]["ridx"].append((rpad // K).astype(np.int32))
+                bucket_host[ai]["scat"].append(np.concatenate(
+                    [rows, np.full(pad, BRK)]).astype(np.int32))
+                ai += 1
+        stacks_np = {k: np.stack([h[i] for h in host])
+                     for i, k in enumerate(keys)}
+        buckets_np = tuple({k: np.stack(v) for k, v in bh.items()}
+                           for bh in bucket_host)
+        self.keep = np.stack(valids)
+        self.nbytes = (sum(v.nbytes for v in stacks_np.values())
+                       + sum(v.nbytes for bh in buckets_np
+                             for v in bh.values())
+                       + data.opt_list.nbytes + data.opt_list_len.nbytes)
+        self.ok = self.nbytes <= max_bytes
+        if not self.ok:
+            return
+
+        rep = replicated(mesh)
+        stk = NamedSharding(mesh, P(None, "data"))
+        self.stacks = {k: jax.device_put(v, stk) for k, v in stacks_np.items()}
+        self.buckets = jax.tree.map(lambda v: jax.device_put(v, rep),
+                                    buckets_np)
+        self.opt_list = jax.device_put(data.opt_list.astype(np.int32), rep)
+        self.opt_len = jax.device_put(data.opt_list_len.astype(np.int32), rep)
+        impl_ = _impl(cfg)
+        start, end = vocab.start, vocab.end
+
+        def run(params, opt_list, opt_len, stacks, buckets):
+            def body(_, xs):
+                batch, bks = xs
+                gt = batch.pop("gt_ind")
+                joint = encoder_apply(params["encoder"], params["embed"],
+                                      batch, cfg, train=False, rng=None,
+                                      impl=impl_)
+                flat = jnp.zeros(BRK + 1, jnp.float32)
+                for (width, _cap), bk in zip(active, bks):
+                    s = gen_rows_score(params, joint, opt_list, opt_len,
+                                       bk["rows"], bk["ridx"], width,
+                                       start, end, cfg, impl=impl_)
+                    flat = flat.at[bk["scat"]].set(s.astype(jnp.float32))
+                scores = flat[:BRK].reshape(-1, R, K)
+                return _, ranks_from_scores(scores, gt, ties=ties)
+
+            _, ranks = jax.lax.scan(body, None, (stacks, buckets))
+            return ranks
+
+        self.run = jax.jit(run, in_shardings=(
+            state_shardings(cfg, mesh).params, rep, rep,
+            {k: stk for k in self.stacks},
+            jax.tree.map(lambda _: rep, buckets_np)))
+        probe = next(iter(self.stacks.values()))
+        np.asarray(jax.device_get(probe[(0,) * probe.ndim]))
+        self.build_seconds = time.time() - t0
+
+    cached = classmethod(_ResidentDiscEval.cached.__func__)
 
 
 def evaluate_split(params, data: VisDialSplit, vocab: Vocabulary,
@@ -273,16 +384,25 @@ def evaluate_split(params, data: VisDialSplit, vocab: Vocabulary,
     needs a feature the resident path lacks (gen decoder, rankings dump,
     explicit eval_fn).
     """
-    if (resident and cfg.decoder == "disc" and not collect_rankings
-            and eval_fn is None):
-        res = _ResidentDiscEval.cached(
-            data, vocab, cfg, mesh,
-            batch_size or cfg.batch_size, ties, resident_max_bytes)
+    resident_ok = (resident and not collect_rankings and eval_fn is None
+                   and (cfg.decoder == "disc"
+                        or (cfg.decoder == "gen" and cfg.gen_eval_bucketed
+                            and gen_fns is not False)))
+    if resident_ok:
+        cls = _ResidentDiscEval if cfg.decoder == "disc" else _ResidentGenEval
+        res = cls.cached(data, vocab, cfg, mesh,
+                         batch_size or cfg.batch_size, ties,
+                         resident_max_bytes)
         if res.ok:
-            table_fn, _ = table_fns or make_disc_table_eval_fns(cfg, mesh)
             t0 = time.time()
-            table = table_fn(params, jnp.asarray(data.opt_list))
-            ranks = np.asarray(res.run(params, table, res.stacks))
+            if cfg.decoder == "disc":
+                table_fn, _ = table_fns or make_disc_table_eval_fns(cfg, mesh)
+                table = table_fn(params, jnp.asarray(data.opt_list))
+                ranks_dev = res.run(params, table, res.stacks)
+            else:
+                ranks_dev = res.run(params, res.opt_list, res.opt_len,
+                                    res.stacks, res.buckets)
+            ranks = np.asarray(ranks_dev)
             elapsed = time.time() - t0
             metrics = retrieval_metrics(ranks[res.keep])
             metrics["evals_per_sec"] = int(res.keep.sum()) / max(elapsed, 1e-9)

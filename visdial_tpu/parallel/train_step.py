@@ -130,18 +130,9 @@ def make_gen_bucket_eval_fns(cfg: Config, mesh: Mesh, impl: str | None = None):
 
     def score(params, joint, opt_list, opt_list_len, opt_rows, row_idx,
               width, start_token, end_token):
-        tok = jnp.take(opt_list, opt_rows, axis=0)[:, : width - 1]  # (C, w-1)
-        lens = jnp.take(opt_list_len, opt_rows)                     # (C,)
-        # same construction as loader._with_start_end, on device:
-        # in = <START> t1..t_{w-1}; out = t1..t_len <END> 0...
-        opt_in = jnp.concatenate(
-            [jnp.full((tok.shape[0], 1), start_token, jnp.int32), tok], axis=1)
-        base = jnp.pad(tok, ((0, 0), (0, 1)))                       # (C, w)
-        pos = jnp.arange(width, dtype=jnp.int32)[None, :]
-        opt_out = jnp.where(pos == lens[:, None], end_token, base)
-        joint_rows = jnp.take(joint, row_idx, axis=0)
-        return gen_score_rows(params["decoder"], params["embed"],
-                              joint_rows, opt_in, opt_out, cfg, impl=impl_)
+        return gen_rows_score(params, joint, opt_list, opt_list_len,
+                              opt_rows, row_idx, width, start_token,
+                              end_token, cfg, impl=impl_)
 
     # width/start/end are static (positional: pjit forbids kwargs when
     # in_shardings is given)
@@ -149,6 +140,32 @@ def make_gen_bucket_eval_fns(cfg: Config, mesh: Mesh, impl: str | None = None):
         score, in_shardings=(psh, rep, rep, rep, rep, rep),
         out_shardings=rep, static_argnums=(6, 7, 8))
     return encoder_fn, row_score_fn
+
+
+def gen_rows_score(params, joint, opt_list, opt_list_len, opt_rows, row_idx,
+                   width: int, start_token: int, end_token: int, cfg: Config,
+                   *, impl: str | None = None):
+    """Score candidate rows at a static width with ON-DEVICE candidate
+    construction from the split's opt_list (pure function; used by the
+    jitted streaming row_fn above and inside the resident gen scan).
+
+    opt_rows (C,) rows into opt_list; row_idx (C,) rows into joint.
+    Returns (C,) summed token log-probs.
+    """
+    from ..models.decoders import gen_score_rows
+
+    tok = jnp.take(opt_list, opt_rows, axis=0)[:, : width - 1]   # (C, w-1)
+    lens = jnp.take(opt_list_len, opt_rows)                      # (C,)
+    # same construction as loader._with_start_end, on device:
+    # in = <START> t1..t_{w-1}; out = t1..t_len <END> 0...
+    opt_in = jnp.concatenate(
+        [jnp.full((tok.shape[0], 1), start_token, jnp.int32), tok], axis=1)
+    base = jnp.pad(tok, ((0, 0), (0, 1)))                        # (C, w)
+    pos = jnp.arange(width, dtype=jnp.int32)[None, :]
+    opt_out = jnp.where(pos == lens[:, None], end_token, base)
+    joint_rows = jnp.take(joint, row_idx, axis=0)
+    return gen_score_rows(params["decoder"], params["embed"],
+                          joint_rows, opt_in, opt_out, cfg, impl=impl)
 
 
 def make_disc_table_eval_fns(cfg: Config, mesh: Mesh, impl: str | None = None):
