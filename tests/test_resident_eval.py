@@ -80,3 +80,17 @@ def test_gen_resident_matches_streaming():
         assert np.isclose(res[k], streamed[k], atol=1e-6), k
     again = evaluate_split(params, split, vocab, cfg, mesh, resident=True)
     assert again["resident_cache_seconds"] == res["resident_cache_seconds"]
+
+
+def test_resident_collect_rankings_matches_streaming():
+    """resident + collect_rankings returns the identical (N, R, K) full
+    permutations the streaming path collects per batch."""
+    params, split, vocab, cfg, mesh = _setup("lf-ques-hist",
+                                             data=1, batch_size=8)
+    m1, c1 = evaluate_split(params, split, vocab, cfg, mesh,
+                            collect_rankings=True)
+    m2, c2 = evaluate_split(params, split, vocab, cfg, mesh,
+                            collect_rankings=True, resident=True)
+    assert "resident_cache_seconds" in m2
+    np.testing.assert_array_equal(c1, c2)
+    assert np.isclose(m1["mrr"], m2["mrr"], atol=1e-9)

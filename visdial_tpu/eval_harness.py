@@ -207,27 +207,42 @@ class _ResidentDiscEval:
             return
         stk = NamedSharding(mesh, P(None, "data"))
         self.stacks = {k: jax.device_put(v, stk) for k, v in stacks_np.items()}
+        shardings = (state_shardings(cfg, mesh).params, replicated(mesh),
+                     {k: stk for k in self.stacks})
 
-        def run(params, table, stacks):
-            from .models.model import model_scores_with_table
+        def make_run(with_cand: bool):
+            def run(params, table, stacks):
+                from .models.model import model_scores_with_table
 
-            def body(_, batch):
-                gt = batch.pop("gt_ind")
-                scores = model_scores_with_table(params, batch, table, cfg)
-                return _, ranks_from_scores(scores, gt, ties=ties)
+                def body(_, batch):
+                    gt = batch.pop("gt_ind")
+                    scores = model_scores_with_table(params, batch, table,
+                                                     cfg)
+                    r = ranks_from_scores(scores, gt, ties=ties)
+                    return _, ((r, candidate_rankings(scores)) if with_cand
+                               else r)
 
-            _, ranks = jax.lax.scan(body, None, stacks)
-            return ranks                                # (nb, bs, R) on data
+                _, out = jax.lax.scan(body, None, stacks)
+                return out                            # (nb, bs, R) [+ ..K]
 
-        self.run = jax.jit(run, in_shardings=(
-            state_shardings(cfg, mesh).params, replicated(mesh),
-            {k: stk for k in self.stacks}))
+            return jax.jit(run, in_shardings=shardings)
+
+        self._make_run = make_run
+        self.run = make_run(False)
         # wait for the uploads so build time is accounted here, not in the
         # first timed eval (block_until_ready is a no-op under the tunnel —
         # a 1-element readback is the documented sync)
         probe = next(iter(self.stacks.values()))
         np.asarray(jax.device_get(probe[(0,) * probe.ndim]))
         self.build_seconds = time.time() - t0
+
+    @property
+    def run_cand(self):
+        """Lazily compiled variant also returning full candidate rankings
+        (the v1.0 dump/NDCG payload) from the same single dispatch."""
+        if getattr(self, "_run_cand", None) is None:
+            self._run_cand = self._make_run(True)
+        return self._run_cand
 
     @classmethod
     def cached(cls, data, vocab, cfg, mesh, batch_size, ties, max_bytes):
@@ -320,33 +335,41 @@ class _ResidentGenEval:
         impl_ = _impl(cfg)
         start, end = vocab.start, vocab.end
 
-        def run(params, opt_list, opt_len, stacks, buckets):
-            def body(_, xs):
-                batch, bks = xs
-                gt = batch.pop("gt_ind")
-                joint = encoder_apply(params["encoder"], params["embed"],
-                                      batch, cfg, train=False, rng=None,
-                                      impl=impl_)
-                flat = jnp.zeros(BRK + 1, jnp.float32)
-                for (width, _cap), bk in zip(active, bks):
-                    s = gen_rows_score(params, joint, opt_list, opt_len,
-                                       bk["rows"], bk["ridx"], width,
-                                       start, end, cfg, impl=impl_)
-                    flat = flat.at[bk["scat"]].set(s.astype(jnp.float32))
-                scores = flat[:BRK].reshape(-1, R, K)
-                return _, ranks_from_scores(scores, gt, ties=ties)
+        shardings = (state_shardings(cfg, mesh).params, rep, rep,
+                     {k: stk for k in self.stacks},
+                     jax.tree.map(lambda _: rep, buckets_np))
 
-            _, ranks = jax.lax.scan(body, None, (stacks, buckets))
-            return ranks
+        def make_run(with_cand: bool):
+            def run(params, opt_list, opt_len, stacks, buckets):
+                def body(_, xs):
+                    batch, bks = xs
+                    gt = batch.pop("gt_ind")
+                    joint = encoder_apply(params["encoder"], params["embed"],
+                                          batch, cfg, train=False, rng=None,
+                                          impl=impl_)
+                    flat = jnp.zeros(BRK + 1, jnp.float32)
+                    for (width, _cap), bk in zip(active, bks):
+                        s = gen_rows_score(params, joint, opt_list, opt_len,
+                                           bk["rows"], bk["ridx"], width,
+                                           start, end, cfg, impl=impl_)
+                        flat = flat.at[bk["scat"]].set(s.astype(jnp.float32))
+                    scores = flat[:BRK].reshape(-1, R, K)
+                    r = ranks_from_scores(scores, gt, ties=ties)
+                    return _, ((r, candidate_rankings(scores)) if with_cand
+                               else r)
 
-        self.run = jax.jit(run, in_shardings=(
-            state_shardings(cfg, mesh).params, rep, rep,
-            {k: stk for k in self.stacks},
-            jax.tree.map(lambda _: rep, buckets_np)))
+                _, out = jax.lax.scan(body, None, (stacks, buckets))
+                return out
+
+            return jax.jit(run, in_shardings=shardings)
+
+        self._make_run = make_run
+        self.run = make_run(False)
         probe = next(iter(self.stacks.values()))
         np.asarray(jax.device_get(probe[(0,) * probe.ndim]))
         self.build_seconds = time.time() - t0
 
+    run_cand = _ResidentDiscEval.run_cand
     cached = classmethod(_ResidentDiscEval.cached.__func__)
 
 
@@ -384,7 +407,7 @@ def evaluate_split(params, data: VisDialSplit, vocab: Vocabulary,
     needs a feature the resident path lacks (gen decoder, rankings dump,
     explicit eval_fn).
     """
-    resident_ok = (resident and not collect_rankings and eval_fn is None
+    resident_ok = (resident and eval_fn is None
                    and (cfg.decoder == "disc"
                         or (cfg.decoder == "gen" and cfg.gen_eval_bucketed
                             and gen_fns is not False)))
@@ -394,14 +417,17 @@ def evaluate_split(params, data: VisDialSplit, vocab: Vocabulary,
                          batch_size or cfg.batch_size, ties,
                          resident_max_bytes)
         if res.ok:
+            run = res.run_cand if collect_rankings else res.run
             t0 = time.time()
             if cfg.decoder == "disc":
                 table_fn, _ = table_fns or make_disc_table_eval_fns(cfg, mesh)
                 table = table_fn(params, jnp.asarray(data.opt_list))
-                ranks_dev = res.run(params, table, res.stacks)
+                out_dev = run(params, table, res.stacks)
             else:
-                ranks_dev = res.run(params, res.opt_list, res.opt_len,
-                                    res.stacks, res.buckets)
+                out_dev = run(params, res.opt_list, res.opt_len,
+                              res.stacks, res.buckets)
+            ranks_dev, cand_dev = out_dev if collect_rankings \
+                else (out_dev, None)
             ranks = np.asarray(ranks_dev)
             elapsed = time.time() - t0
             metrics = retrieval_metrics(ranks[res.keep])
@@ -409,6 +435,10 @@ def evaluate_split(params, data: VisDialSplit, vocab: Vocabulary,
             metrics["eval_seconds"] = elapsed
             metrics["resident_cache_seconds"] = res.build_seconds
             metrics["resident_cache_bytes"] = res.nbytes
+            if collect_rankings:
+                cand = np.where(res.keep[..., None], np.asarray(cand_dev), 0)
+                return metrics, cand.reshape(
+                    -1, cfg.num_rounds, cfg.num_options)[:data.num_dialogs]
             return metrics
     # An explicitly supplied eval_fn wins (callers forcing the direct path);
     # otherwise each decoder defaults to its fast path.
