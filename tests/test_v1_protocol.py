@@ -88,3 +88,49 @@ def test_evaluate_cli_save_ranks_and_ndcg(tmp_path):
     assert metrics["ndcg_rounds"] == 4
     assert metrics["ndcg_missing"] == 1
     assert np.isclose(metrics["ndcg"], 1.0)
+
+
+def test_test_split_rounds_without_gt_are_dumped_not_ranked(tmp_path):
+    """v1.0 TEST-split semantics: a round with a full candidate list but no
+    answer/gt_index is SCOREABLE (appears in the --save_ranks dump) without
+    being RANKABLE (excluded from metrics) — on both harness paths."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_prepro import K, R, make_visdial_json
+
+    from visdial_tpu.data.dataset import load_split
+    from visdial_tpu.data.prepro import main as prepro_main
+
+    d = tmp_path
+    make_visdial_json(d / "train.json", 6, 40, 30, seed=0)
+    make_visdial_json(d / "val.json", 6, 40, 30, seed=1)
+    with open(d / "val.json") as f:
+        raw = json.load(f)
+    # dialog 0's last round becomes a submission round: options, no gt
+    turn = raw["data"]["dialogs"][0]["dialog"][R - 1]
+    del turn["answer"], turn["gt_index"]
+    with open(d / "val.json", "w") as f:
+        json.dump(raw, f)
+    prepro_main([
+        "--train_json", str(d / "train.json"),
+        "--val_json", str(d / "val.json"),
+        "--img_feats_train", "", "--img_feats_val", "",
+        "--out_dir", str(d / "out"), "--min_count", "1",
+        "--max_ques_len", "8", "--max_ans_len", "5", "--max_cap_len", "8",
+        "--num_rounds", str(R), "--num_options", str(K),
+    ])
+    val, vocab = load_split(str(d / "out"), "val")
+    assert val.round_valid[0, R - 1] == 0
+    assert val.round_scoreable[0, R - 1] == 1
+
+    cfg = small_config(vocab_size=vocab.size, encoder="lf-ques-hist",
+                       decoder="disc", max_ques_len=8, max_ans_len=5,
+                       max_cap_len=8, num_rounds=R, num_options=K,
+                       batch_size=3, img_feat_size=1)
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    params = init_train_state(cfg).params
+    for kw in ({}, {"resident": True}):
+        metrics, cand = evaluate_split(params, val, vocab, cfg, mesh,
+                                       collect_rankings=True, **kw)
+        assert metrics["num_examples"] == 6 * R - 1          # gt-less excluded
+        assert sorted(cand[0, R - 1]) == list(range(1, K + 1))  # but dumped

@@ -48,13 +48,21 @@ class VisDialSplit:
       gt_ind    (N, R)     int32   ground-truth position in [0, 100)
       img_feat  (N, F)     float32 VGG-16 fc7 (or conv5-pooled) features
       img_ids   (N,)       int64   COCO image ids (bookkeeping)
-      round_valid (N, R)   int32   1 = fully annotated round.  v0.9-style
-                                   splits are all-ones (and omitting the
-                                   field means all-ones — old artifacts
-                                   load unchanged); v1.0 val/test dialogs
-                                   with fewer than R rounds or rounds
-                                   missing answer/options are padded and
-                                   masked out of loss and metrics.
+      round_valid (N, R)   int32   1 = RANKABLE round (full candidate list
+                                   + ground truth).  v0.9-style splits are
+                                   all-ones (and omitting the field means
+                                   all-ones — old artifacts load
+                                   unchanged); v1.0 val/test dialogs with
+                                   fewer than R rounds or rounds missing
+                                   answer/options are padded and masked
+                                   out of loss and metrics.
+      round_scoreable (N, R) int32 1 = SCOREABLE round (full candidate
+                                   list; ground truth optional) — the v1.0
+                                   test split's submission rounds carry
+                                   options but no gt_index, so they are
+                                   scoreable (included in a --save_ranks
+                                   dump) without being rankable.  Omitted
+                                   field defaults to round_valid.
     """
 
     ques: np.ndarray
@@ -70,10 +78,13 @@ class VisDialSplit:
     img_feat: np.ndarray
     img_ids: np.ndarray
     round_valid: np.ndarray | None = None
+    round_scoreable: np.ndarray | None = None
 
     def __post_init__(self) -> None:
         if self.round_valid is None:
             self.round_valid = np.ones_like(self.gt_ind, dtype=np.int32)
+        if self.round_scoreable is None:
+            self.round_scoreable = self.round_valid.copy()
 
     @property
     def num_dialogs(self) -> int:
@@ -89,6 +100,9 @@ class VisDialSplit:
         assert self.opt_inds.shape[:2] == (n, r)
         assert self.gt_ind.shape == (n, r)
         assert self.round_valid.shape == (n, r)
+        assert self.round_scoreable.shape == (n, r)
+        assert (self.round_scoreable >= self.round_valid).all(), \
+            "every rankable round must be scoreable"
         assert self.img_feat.shape[0] == n
         assert self.opt_inds.max() < self.opt_list.shape[0]
         assert (self.gt_ind >= 0).all() and (self.gt_ind < self.opt_inds.shape[2]).all()

@@ -107,12 +107,16 @@ class Batch:
       round_valid  (B, R)          0/1 — incompletely annotated rounds
                                    (v1.0 short/test dialogs); excluded from
                                    loss and metrics
+      round_scoreable (B, R)       0/1 — rounds with a full candidate list
+                                   (gt optional): what a --save_ranks dump
+                                   includes (v1.0 test submission rounds)
     """
 
     ques: np.ndarray
     gt_ind: np.ndarray
     dialog_valid: np.ndarray
     round_valid: np.ndarray
+    round_scoreable: np.ndarray | None = None
     hist_concat: np.ndarray | None = None
     hist_flat: np.ndarray | None = None
     hist_bounds: np.ndarray | None = None
@@ -299,7 +303,8 @@ class BatchAssembler:
         ques = right_align_fast(d.ques[idx], d.ques_len[idx])
         batch = Batch(ques=ques, gt_ind=d.gt_ind[idx].astype(np.int32),
                       dialog_valid=valid,
-                      round_valid=d.round_valid[idx].astype(np.int32))
+                      round_valid=d.round_valid[idx].astype(np.int32),
+                      round_scoreable=d.round_scoreable[idx].astype(np.int32))
 
         if self.need_concat:
             if cfg.lf_hist_incremental:

@@ -98,6 +98,7 @@ def build_split(data: dict, vocab: Vocabulary, cfg_caps: dict,
     opt_inds = np.zeros((N, num_rounds, num_options), np.int32)
     gt_ind = np.zeros((N, num_rounds), np.int32)
     round_valid = np.zeros((N, num_rounds), np.int32)
+    round_scoreable = np.zeros((N, num_rounds), np.int32)
     img_ids = np.zeros(N, np.int64)
 
     # The dedup'd option list IS the global answer list (the released JSON
@@ -126,6 +127,9 @@ def build_split(data: dict, vocab: Vocabulary, cfg_caps: dict,
                     turn.get("answer_options", [])[:num_options]]
             if len(opts) == num_options:
                 opt_inds[i, r] = opts
+                # full candidate list -> scoreable (dumped by --save_ranks)
+                # even without gt: the v1.0 TEST split's submission rounds
+                round_scoreable[i, r] = 1
                 gt = turn.get("gt_index")
                 if gt is None and ai >= 0:
                     # some exports store the answer id, not the slot
@@ -151,7 +155,7 @@ def build_split(data: dict, vocab: Vocabulary, cfg_caps: dict,
         opt_list=opt_list, opt_list_len=opt_list_len,
         opt_inds=opt_inds, gt_ind=gt_ind,
         img_feat=img_feat.astype(np.float32), img_ids=img_ids,
-        round_valid=round_valid,
+        round_valid=round_valid, round_scoreable=round_scoreable,
     ).validate()
 
 

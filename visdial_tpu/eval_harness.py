@@ -189,7 +189,7 @@ class _ResidentDiscEval:
         t0 = time.time()
         loader = EvalLoader(data, vocab, cfg, batch_size=batch_size,
                             option_tokens=False)
-        keys, host, valids = None, [], []
+        keys, host, valids, dumps = None, [], [], []
         for b in loader:
             d = b.as_dict()
             if keys is None:
@@ -198,9 +198,12 @@ class _ResidentDiscEval:
             host.append([d[k] for k in keys])
             valids.append(b.dialog_valid.astype(bool)[:, None]
                           & b.round_valid.astype(bool))
+            dumps.append(b.dialog_valid.astype(bool)[:, None]
+                         & b.round_scoreable.astype(bool))
         stacks_np = {k: np.stack([h[i] for h in host])
                      for i, k in enumerate(keys)}
         self.keep = np.stack(valids)                    # (nb, bs, R)
+        self.keep_dump = np.stack(dumps)
         self.nbytes = sum(v.nbytes for v in stacks_np.values())
         self.ok = self.nbytes <= max_bytes
         if not self.ok:
@@ -286,7 +289,7 @@ class _ResidentGenEval:
 
         loader = EvalLoader(data, vocab, cfg, batch_size=batch_size,
                             option_tokens=False)
-        keys, host, valids = None, [], []
+        keys, host, valids, dumps = None, [], [], []
         bucket_host = [{"rows": [], "ridx": [], "scat": []} for _ in active]
         for b in loader:
             d = b.as_dict()
@@ -296,6 +299,8 @@ class _ResidentGenEval:
             host.append([d[k] for k in keys])
             valids.append(b.dialog_valid.astype(bool)[:, None]
                           & b.round_valid.astype(bool))
+            dumps.append(b.dialog_valid.astype(bool)[:, None]
+                         & b.round_scoreable.astype(bool))
             flat_rows = b.opt_inds.reshape(-1)
             assign = plan.assign(b.opt_len)
             ai = 0
@@ -317,6 +322,7 @@ class _ResidentGenEval:
         buckets_np = tuple({k: np.stack(v) for k, v in bh.items()}
                            for bh in bucket_host)
         self.keep = np.stack(valids)
+        self.keep_dump = np.stack(dumps)
         self.nbytes = (sum(v.nbytes for v in stacks_np.values())
                        + sum(v.nbytes for bh in buckets_np
                              for v in bh.values())
@@ -436,7 +442,8 @@ def evaluate_split(params, data: VisDialSplit, vocab: Vocabulary,
             metrics["resident_cache_seconds"] = res.build_seconds
             metrics["resident_cache_bytes"] = res.nbytes
             if collect_rankings:
-                cand = np.where(res.keep[..., None], np.asarray(cand_dev), 0)
+                cand = np.where(res.keep_dump[..., None],
+                                np.asarray(cand_dev), 0)
                 return metrics, cand.reshape(
                     -1, cfg.num_rounds, cfg.num_options)[:data.num_dialogs]
             return metrics
@@ -536,9 +543,13 @@ def evaluate_split(params, data: VisDialSplit, vocab: Vocabulary,
         all_ranks.append(ranks[keep])
         if cand_dev is not None:
             cand = np.asarray(cand_dev)            # (B, R, K)
+            # dump gate: scoreable (full candidate list), not rankable —
+            # the v1.0 test split's submission rounds have no ground truth
+            dump = (batch.dialog_valid.astype(bool)[:, None]
+                    & batch.round_scoreable.astype(bool))
             n_real = min(start + cand.shape[0], data.num_dialogs) - start
             cand_ranks_out[start:start + n_real] = np.where(
-                keep[:n_real, :, None], cand[:n_real], 0)
+                dump[:n_real, :, None], cand[:n_real], 0)
         return int(keep.sum())
 
     # Pipeline (3 stages deep): the staging thread assembles + device_puts
