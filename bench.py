@@ -268,6 +268,46 @@ def bench_harness_e2e(cfg, num_dialogs: int = 512,
     return out
 
 
+def bench_serving(cfg, n_calls: int = 30) -> dict:
+    """Interactive serving latency through the real InferenceEngine
+    surface (tokenize + assemble + jitted forward + readback) — what a
+    single-user request pays end to end.  Disc ranks the full answer pool;
+    gen decodes greedily.  Note: on this host's tunneled chip each call
+    pays the ~30 ms host<->device round trip; on a local-PCIe host the
+    same path is dominated by the <1 ms device compute."""
+    from visdial_tpu.data.synthetic import make_random_split
+    from visdial_tpu.infer import InferenceEngine
+    from visdial_tpu.parallel.train_step import init_train_state
+
+    split, vocab = make_random_split(cfg, num_dialogs=8,
+                                     num_unique_answers=50_000, seed=0)
+    scfg = cfg.replace(vocab_size=vocab.size, dropout=0.0)
+    eng = InferenceEngine(state=init_train_state(scfg), cfg=scfg,
+                          data=split, vocab=vocab)
+    hist = [("is there a dog ?", "yes"), ("what color is it ?", "red")]
+
+    def call():
+        if scfg.decoder == "disc":
+            return eng.rank_answers("is it sunny ?", caption="a park photo",
+                                    history=hist, top_k=5)
+        return eng.generate_answer("is it sunny ?", caption="a park photo",
+                                   history=hist)
+
+    call(); call()                      # compile + warm
+    lat = []
+    for _ in range(n_calls):
+        t0 = time.time()
+        call()
+        lat.append(time.time() - t0)
+    lat.sort()
+    p50 = lat[len(lat) // 2] * 1e3
+    p95 = lat[int(len(lat) * 0.95)] * 1e3
+    log(f"[jax] serving ({scfg.decoder}): p50 {p50:.1f} ms, "
+        f"p95 {p95:.1f} ms per request ({n_calls} calls)")
+    return {f"serving_{scfg.decoder}_p50_ms": round(p50, 2),
+            f"serving_{scfg.decoder}_p95_ms": round(p95, 2)}
+
+
 def bench_jax(args) -> dict:
     import jax
 
@@ -298,6 +338,9 @@ def bench_jax(args) -> dict:
 
     stats.update(bench_harness_e2e(
         cfg, decoders=(cfg.decoder,) if args.no_gen else ("disc", "gen")))
+    stats.update(bench_serving(cfg))
+    if cfg.decoder == "disc" and not args.no_gen:
+        stats.update(bench_serving(cfg.replace(decoder="gen")))
 
     if cfg.decoder == "disc" and not args.no_gen:
         # The other decoder's headline numbers ride along with the flagship

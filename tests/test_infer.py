@@ -57,3 +57,21 @@ def test_rank_answers_lf_incremental_history(tmp_path):
     out2 = eng.rank_answers("w002 w001", caption="w003 w004",
                             history=[("w010", "w011")], top_k=3)
     assert ([o["score"] for o in out] != [o["score"] for o in out2])
+
+
+def test_engine_from_in_memory_components():
+    """Embedding/serving-bench route: build the engine without a
+    checkpoint from (state, cfg, data, vocab)."""
+    from conftest import small_config
+
+    from visdial_tpu.data.synthetic import make_synthetic_split
+    from visdial_tpu.parallel.train_step import init_train_state
+
+    cfg = small_config(encoder="lf-ques-hist", decoder="disc")
+    split, vocab = make_synthetic_split(cfg, num_dialogs=8, seed=0)
+    cfg = cfg.replace(vocab_size=vocab.size)
+    eng = InferenceEngine(state=init_train_state(cfg), cfg=cfg,
+                          data=split, vocab=vocab)
+    top = eng.rank_answers("tok1 tok2 ?", caption="tok3",
+                           history=[("tok4 ?", "tok5")], top_k=3)
+    assert len(top) == 3 and all("answer" in t and "score" in t for t in top)

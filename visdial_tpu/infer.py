@@ -42,16 +42,23 @@ class InferenceEngine:
     """Checkpoint + vocabulary + (for disc) the answer-pool table, with
     jitted single-dialog forwards cached at fixed shapes."""
 
-    def __init__(self, load_path: str, data_dir: str = "",
-                 synthetic: int = 0):
-        state, cfg, _ = load_checkpoint(load_path)
-        if data_dir:
-            cfg = cfg.replace(data_dir=data_dir)
-        if synthetic:
-            data, vocab = make_synthetic_split(cfg, num_dialogs=synthetic,
-                                               seed=cfg.seed + 1)
-        else:
-            data, vocab = load_split(cfg.data_dir, "val")
+    def __init__(self, load_path: str = "", data_dir: str = "",
+                 synthetic: int = 0, *, state=None, cfg=None, data=None,
+                 vocab=None):
+        """Build from a checkpoint path (the CLI route) or directly from
+        in-memory components (embedding/serving-bench route: pass state,
+        cfg, data, vocab and no load_path)."""
+        if load_path:
+            state, cfg, _ = load_checkpoint(load_path)
+            if data_dir:
+                cfg = cfg.replace(data_dir=data_dir)
+            if synthetic:
+                data, vocab = make_synthetic_split(
+                    cfg, num_dialogs=synthetic, seed=cfg.seed + 1)
+            else:
+                data, vocab = load_split(cfg.data_dir, "val")
+        assert None not in (state, cfg, data, vocab), \
+            "need load_path or explicit (state, cfg, data, vocab)"
         self.cfg = cfg
         self.vocab = vocab
         self.params = state.params
