@@ -60,6 +60,11 @@ def test_resident_byte_cap_falls_back_to_streaming():
                          resident_max_bytes=16)
     assert "resident_cache_seconds" not in res       # streamed
     assert res["num_examples"] == 20 * cfg.num_rounds
+    # a later call with a workable cap must NOT inherit the failed build
+    # (the cache key includes max_bytes)
+    res2 = evaluate_split(params, split, vocab, cfg, mesh, resident=True)
+    assert "resident_cache_seconds" in res2
+    assert np.isclose(res2["mrr"], res["mrr"], atol=1e-9)
 
 
 def test_gen_resident_matches_streaming():

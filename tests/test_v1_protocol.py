@@ -134,3 +134,18 @@ def test_test_split_rounds_without_gt_are_dumped_not_ranked(tmp_path):
                                        collect_rankings=True, **kw)
         assert metrics["num_examples"] == 6 * R - 1          # gt-less excluded
         assert sorted(cand[0, R - 1]) == list(range(1, K + 1))  # but dumped
+
+
+def test_ndcg_from_dense_rejects_out_of_range_round_ids():
+    """round_id is 1-indexed; 0 or past-the-end ids must be counted
+    missing, not wrap (negative index) onto another round's ranks."""
+    from visdial_tpu.evaluate import ndcg_from_dense
+
+    cand = np.tile(np.arange(1, 5, dtype=np.int32), (2, 3, 1))  # (N=2,R=3,K=4)
+    rel = [1.0, 0.0, 0.0, 0.0]
+    out = ndcg_from_dense(cand, np.array([10, 11]), [
+        {"image_id": 10, "round_id": 0, "gt_relevance": rel},    # bad: 0
+        {"image_id": 11, "round_id": 4, "gt_relevance": rel},    # bad: > R
+    ])
+    assert out["ndcg_rounds"] == 0
+    assert out["ndcg_missing"] == 2

@@ -158,59 +158,103 @@ class _GenBucketPlan:
         return [np.flatnonzero(b == i) for i in range(len(self.widths))]
 
 
-class _ResidentDiscEval:
-    """Whole-split disc eval with the split RESIDENT on device.
+class _ResidentEvalBase:
+    """Shared staging for the device-resident whole-split evaluators.
 
     The streaming harness below re-ships every batch from the host each
     eval; on a high-latency host<->device link (this box's tunneled chip:
     ~30 ms/sync, ~30 MB/s put) that transfer bounds end-to-end throughput
-    well under the device's compute roofline.  This path assembles every
-    eval batch once, uploads the stacked arrays once — (nb, bs, ...) with
-    the dialog axis sharded over 'data' — and scores the entire split in
-    ONE dispatch: a jitted lax.scan over batches (encoder forward + option
-    table gather + on-device GT ranks), with a single (nb, bs, R) int32
-    readback.  Repeated evals (the train loop's periodic eval, sweeps,
-    benchmarks) then run at pure-device speed; only the option table is
-    rebuilt per call (it depends on params).
-
-    Exact same scores as the streaming table path (same jitted math, no
-    dropout at eval).  Memory: the stacks are the split's eval arrays —
-    ~0.6 GB at VisDial-v0.9-val scale, gated by `max_bytes` with a
-    streaming fallback.
+    well under the device's compute roofline.  The resident path assembles
+    every eval batch once, uploads the stacked arrays once — (nb, bs, ...)
+    with the dialog axis sharded over 'data' — and scores the entire split
+    in ONE dispatch: a jitted lax.scan over batches with a single
+    (nb, bs, R) int32 ranks readback (plus the (nb, bs, R, K) full
+    permutations when collecting rankings).  Repeated evals (the train
+    loop's periodic eval, sweeps, benchmarks) then run at pure-device
+    speed.  Memory is gated by `max_bytes` with a streaming fallback;
+    scores are bit-identical to the streaming paths
+    (tests/test_resident_eval.py).  Subclasses provide the decoder-
+    specific stacking tail + scan body and set self._make_run/self.run.
     """
 
-    def __init__(self, data: VisDialSplit, vocab: Vocabulary, cfg: Config,
-                 mesh, batch_size: int, ties: str, max_bytes: int):
-        from jax.sharding import NamedSharding, PartitionSpec as P
+    @classmethod
+    def cached(cls, data, vocab, cfg, mesh, batch_size, ties, max_bytes):
+        cache = data.__dict__.setdefault("_resident_eval", {})
+        key = (cls.__name__, batch_size, cfg,
+               tuple(sorted(mesh.shape.items())), ties, max_bytes)
+        if key not in cache:
+            cache[key] = cls(data, vocab, cfg, mesh, batch_size, ties,
+                             max_bytes)
+        return cache[key]
 
-        from .parallel.train_step import state_shardings
-        from .parallel.mesh import replicated
+    @property
+    def run_cand(self):
+        """Lazily compiled variant also returning full candidate rankings
+        (the v1.0 dump/NDCG payload) from the same single dispatch."""
+        if getattr(self, "_run_cand", None) is None:
+            self._run_cand = self._make_run(True)
+        return self._run_cand
 
-        t0 = time.time()
+    def _stack_split(self, data, vocab, cfg, batch_size, extra_keys,
+                     per_batch=None) -> dict:
+        """Assemble the whole split into (nb, bs, ...) host stacks and set
+        the metrics (keep) / dump (keep_dump) masks; per_batch hooks
+        decoder-specific staging (the gen bucket tensors)."""
         loader = EvalLoader(data, vocab, cfg, batch_size=batch_size,
                             option_tokens=False)
         keys, host, valids, dumps = None, [], [], []
         for b in loader:
             d = b.as_dict()
             if keys is None:
-                keys = tuple(k for k in _ENCODER_BATCH_KEYS
-                             + ("opt_inds", "gt_ind") if k in d)
+                keys = tuple(k for k in _ENCODER_BATCH_KEYS + extra_keys
+                             if k in d)
             host.append([d[k] for k in keys])
             valids.append(b.dialog_valid.astype(bool)[:, None]
                           & b.round_valid.astype(bool))
             dumps.append(b.dialog_valid.astype(bool)[:, None]
                          & b.round_scoreable.astype(bool))
-        stacks_np = {k: np.stack([h[i] for h in host])
-                     for i, k in enumerate(keys)}
+            if per_batch is not None:
+                per_batch(b)
         self.keep = np.stack(valids)                    # (nb, bs, R)
         self.keep_dump = np.stack(dumps)
-        self.nbytes = sum(v.nbytes for v in stacks_np.values())
+        return {k: np.stack([h[i] for h in host])
+                for i, k in enumerate(keys)}
+
+    def _finish_build(self, t0: float) -> None:
+        # wait for the uploads so build time is accounted here, not in the
+        # first timed eval (block_until_ready is a no-op under the tunnel —
+        # a 1-element readback is the documented sync)
+        probe = next(iter(self.stacks.values()))
+        np.asarray(jax.device_get(probe[(0,) * probe.ndim]))
+        self.build_seconds = time.time() - t0
+
+
+class _ResidentDiscEval(_ResidentEvalBase):
+    """Disc variant: scan body = encoder forward + option-table gather +
+    on-device GT ranks.  The opt_list rows are uploaded once here; only
+    the option-embedding table is rebuilt per call (it depends on params).
+    """
+
+    def __init__(self, data: VisDialSplit, vocab: Vocabulary, cfg: Config,
+                 mesh, batch_size: int, ties: str, max_bytes: int):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel.mesh import replicated
+        from .parallel.train_step import state_shardings
+
+        t0 = time.time()
+        stacks_np = self._stack_split(data, vocab, cfg, batch_size,
+                                      ("opt_inds", "gt_ind"))
+        self.nbytes = (sum(v.nbytes for v in stacks_np.values())
+                       + data.opt_list.nbytes)
         self.ok = self.nbytes <= max_bytes
         if not self.ok:
             return
+        rep = replicated(mesh)
         stk = NamedSharding(mesh, P(None, "data"))
         self.stacks = {k: jax.device_put(v, stk) for k, v in stacks_np.items()}
-        shardings = (state_shardings(cfg, mesh).params, replicated(mesh),
+        self.opt_list = jax.device_put(data.opt_list.astype(np.int32), rep)
+        shardings = (state_shardings(cfg, mesh).params, rep,
                      {k: stk for k in self.stacks})
 
         def make_run(with_cand: bool):
@@ -232,44 +276,17 @@ class _ResidentDiscEval:
 
         self._make_run = make_run
         self.run = make_run(False)
-        # wait for the uploads so build time is accounted here, not in the
-        # first timed eval (block_until_ready is a no-op under the tunnel —
-        # a 1-element readback is the documented sync)
-        probe = next(iter(self.stacks.values()))
-        np.asarray(jax.device_get(probe[(0,) * probe.ndim]))
-        self.build_seconds = time.time() - t0
-
-    @property
-    def run_cand(self):
-        """Lazily compiled variant also returning full candidate rankings
-        (the v1.0 dump/NDCG payload) from the same single dispatch."""
-        if getattr(self, "_run_cand", None) is None:
-            self._run_cand = self._make_run(True)
-        return self._run_cand
-
-    @classmethod
-    def cached(cls, data, vocab, cfg, mesh, batch_size, ties, max_bytes):
-        cache = data.__dict__.setdefault("_resident_eval", {})
-        key = (cls.__name__, batch_size, cfg,
-               tuple(sorted(mesh.shape.items())), ties)
-        if key not in cache:
-            cache[key] = cls(data, vocab, cfg, mesh, batch_size, ties,
-                             max_bytes)
-        return cache[key]
+        self._finish_build(t0)
 
 
-class _ResidentGenEval:
-    """Whole-split gen eval resident on device (see _ResidentDiscEval).
-
-    The length-bucket structure of the streaming fast path is preserved —
-    every candidate row scores at the narrowest sufficient static width
-    (_GenBucketPlan, exact by construction) — but the per-batch bucket
-    index tensors are precomputed for the whole split, uploaded once, and
-    the scan body scores all buckets + scatters + ranks on device.  The
-    split's opt_list/opt_len upload is part of the cache (params-free), so
-    warm evals ship NOTHING to the device and read back one (nb, bs, R)
-    int32 array.
-    """
+class _ResidentGenEval(_ResidentEvalBase):
+    """Gen variant: the length-bucket structure of the streaming fast path
+    is preserved — every candidate row scores at the narrowest sufficient
+    static width (_GenBucketPlan, exact by construction) — but the
+    per-batch bucket index tensors are precomputed for the whole split,
+    uploaded once, and the scan body scores all buckets + scatters +
+    ranks on device.  The opt_list/opt_len upload is part of the cache
+    (params-free), so warm evals ship NOTHING to the device."""
 
     def __init__(self, data: VisDialSplit, vocab: Vocabulary, cfg: Config,
                  mesh, batch_size: int, ties: str, max_bytes: int):
@@ -286,21 +303,9 @@ class _ResidentGenEval:
         K = cfg.num_options
         R = cfg.num_rounds
         BRK = batch_size * R * K
-
-        loader = EvalLoader(data, vocab, cfg, batch_size=batch_size,
-                            option_tokens=False)
-        keys, host, valids, dumps = None, [], [], []
         bucket_host = [{"rows": [], "ridx": [], "scat": []} for _ in active]
-        for b in loader:
-            d = b.as_dict()
-            if keys is None:
-                keys = tuple(k for k in _ENCODER_BATCH_KEYS + ("gt_ind",)
-                             if k in d)
-            host.append([d[k] for k in keys])
-            valids.append(b.dialog_valid.astype(bool)[:, None]
-                          & b.round_valid.astype(bool))
-            dumps.append(b.dialog_valid.astype(bool)[:, None]
-                         & b.round_scoreable.astype(bool))
+
+        def stage_buckets(b):
             flat_rows = b.opt_inds.reshape(-1)
             assign = plan.assign(b.opt_len)
             ai = 0
@@ -317,12 +322,11 @@ class _ResidentGenEval:
                 bucket_host[ai]["scat"].append(np.concatenate(
                     [rows, np.full(pad, BRK)]).astype(np.int32))
                 ai += 1
-        stacks_np = {k: np.stack([h[i] for h in host])
-                     for i, k in enumerate(keys)}
+
+        stacks_np = self._stack_split(data, vocab, cfg, batch_size,
+                                      ("gt_ind",), per_batch=stage_buckets)
         buckets_np = tuple({k: np.stack(v) for k, v in bh.items()}
                            for bh in bucket_host)
-        self.keep = np.stack(valids)
-        self.keep_dump = np.stack(dumps)
         self.nbytes = (sum(v.nbytes for v in stacks_np.values())
                        + sum(v.nbytes for bh in buckets_np
                              for v in bh.values())
@@ -371,12 +375,7 @@ class _ResidentGenEval:
 
         self._make_run = make_run
         self.run = make_run(False)
-        probe = next(iter(self.stacks.values()))
-        np.asarray(jax.device_get(probe[(0,) * probe.ndim]))
-        self.build_seconds = time.time() - t0
-
-    run_cand = _ResidentDiscEval.run_cand
-    cached = classmethod(_ResidentDiscEval.cached.__func__)
+        self._finish_build(t0)
 
 
 def evaluate_split(params, data: VisDialSplit, vocab: Vocabulary,
@@ -406,15 +405,16 @@ def evaluate_split(params, data: VisDialSplit, vocab: Vocabulary,
     invalid rounds hold zeros) — the v1.0 challenge-dump / NDCG payload —
     i.e. the return becomes ``(metrics, cand_ranks)``.
 
-    resident=True (disc only) caches the split's eval batches ON DEVICE
-    and scores the whole split in one dispatch (_ResidentDiscEval) —
-    identical scores, pure-device throughput on repeated evals; falls back
-    to streaming when the stacks exceed resident_max_bytes or the request
-    needs a feature the resident path lacks (gen decoder, rankings dump,
-    explicit eval_fn).
+    resident=True caches the split's eval batches ON DEVICE and scores the
+    whole split in one dispatch (_ResidentDiscEval / _ResidentGenEval;
+    composes with collect_rankings via a second compiled variant) —
+    identical scores, pure-device throughput on repeated evals.  Falls
+    back to streaming when the stacks exceed resident_max_bytes or when
+    the caller forces a specific path (explicit eval_fn, table_fns=False,
+    gen_fns=False, or an unbucketed gen config).
     """
     resident_ok = (resident and eval_fn is None
-                   and (cfg.decoder == "disc"
+                   and ((cfg.decoder == "disc" and table_fns is not False)
                         or (cfg.decoder == "gen" and cfg.gen_eval_bucketed
                             and gen_fns is not False)))
     if resident_ok:
@@ -427,7 +427,7 @@ def evaluate_split(params, data: VisDialSplit, vocab: Vocabulary,
             t0 = time.time()
             if cfg.decoder == "disc":
                 table_fn, _ = table_fns or make_disc_table_eval_fns(cfg, mesh)
-                table = table_fn(params, jnp.asarray(data.opt_list))
+                table = table_fn(params, res.opt_list)
                 out_dev = run(params, table, res.stacks)
             else:
                 out_dev = run(params, res.opt_list, res.opt_len,
@@ -435,15 +435,15 @@ def evaluate_split(params, data: VisDialSplit, vocab: Vocabulary,
             ranks_dev, cand_dev = out_dev if collect_rankings \
                 else (out_dev, None)
             ranks = np.asarray(ranks_dev)
-            elapsed = time.time() - t0
+            cand = np.asarray(cand_dev) if collect_rankings else None
+            elapsed = time.time() - t0      # includes BOTH readbacks
             metrics = retrieval_metrics(ranks[res.keep])
             metrics["evals_per_sec"] = int(res.keep.sum()) / max(elapsed, 1e-9)
             metrics["eval_seconds"] = elapsed
             metrics["resident_cache_seconds"] = res.build_seconds
             metrics["resident_cache_bytes"] = res.nbytes
             if collect_rankings:
-                cand = np.where(res.keep_dump[..., None],
-                                np.asarray(cand_dev), 0)
+                cand = np.where(res.keep_dump[..., None], cand, 0)
                 return metrics, cand.reshape(
                     -1, cfg.num_rounds, cfg.num_options)[:data.num_dialogs]
             return metrics

@@ -63,6 +63,11 @@ def ndcg_from_dense(cand_ranks, img_ids, dense_entries) -> dict:
         if e is None:
             continue
         r = int(e["round_id"]) - 1
+        if not 0 <= r < cand_ranks.shape[1]:
+            # round_id is 1-indexed; a 0 or out-of-range id must not wrap
+            # to another round's ranks — count it missing instead
+            missing += 1
+            continue
         ranks_row = cand_ranks[i, r]
         if not ranks_row.any():        # round not rankable in this split
             missing += 1
@@ -94,8 +99,10 @@ def main(argv=None) -> dict:
                    choices=("optimistic", "pessimistic", "mean"),
                    help="rank convention for score ties (parity probing)")
     p.add_argument("--resident", action="store_true",
-                   help="disc: cache the split's eval batches on device and "
-                        "score in one dispatch (fastest for repeated evals)")
+                   help="cache the split's eval batches on device and score "
+                        "in one dispatch — both decoders, composes with "
+                        "--save_ranks/--dense_json (fastest for repeated "
+                        "evals; auto streaming fallback over the byte cap)")
     p.add_argument("--save_ranks", type=str, default="",
                    help="write full candidate rankings here in the v1.0 "
                         "challenge submission JSON format")

@@ -62,9 +62,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--eval_resident",
                    type=lambda s: s.lower() in ("1", "true", "yes"),
                    default=True,
-                   help="disc periodic eval: cache the val split on device "
-                        "and score it in one dispatch (auto-falls back to "
-                        "streaming when the split exceeds the byte cap)")
+                   help="periodic eval (both decoders): cache the val split "
+                        "on device and score it in one dispatch (auto-falls "
+                        "back to streaming when the split exceeds the byte "
+                        "cap)")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans: abort with a traceback the "
                         "step any NaN/Inf appears (the sanitizer story for "
