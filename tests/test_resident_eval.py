@@ -99,3 +99,15 @@ def test_resident_collect_rankings_matches_streaming():
     assert "resident_cache_seconds" in m2
     np.testing.assert_array_equal(c1, c2)
     assert np.isclose(m1["mrr"], m2["mrr"], atol=1e-9)
+
+
+def test_resident_on_two_axis_mesh_with_model_axis():
+    """Resident disc eval over a (4,2) mesh — the vocab-sharded table and
+    embedding rules active inside the scan — still matches streaming."""
+    params, split, vocab, cfg, mesh = _setup("mn-ques-im-hist",
+                                             data=4, model=2, batch_size=8)
+    streamed = evaluate_split(params, split, vocab, cfg, mesh)
+    res = evaluate_split(params, split, vocab, cfg, mesh, resident=True)
+    assert "resident_cache_seconds" in res
+    for k in METRIC_KEYS:
+        assert np.isclose(res[k], streamed[k], atol=1e-9), k

@@ -68,6 +68,45 @@ def model_loss(params, batch, cfg: Config, *, train=True, rng=None,
                      train=train, rng=dec_rng, impl=impl)
 
 
+def model_dense_loss(params, batch, cfg: Config, *, train=True, rng=None,
+                     impl: str | None = None) -> jnp.ndarray:
+    """v1.0 dense-annotation fine-tuning loss (disc decoder).
+
+    Cross-entropy between the model's 100-way candidate-score softmax and
+    the NORMALIZED human gt_relevance of each dialog's densely annotated
+    round — the VisDial-v1.0 ecosystem's NDCG-optimization phase (the
+    v0.9 reference predates it; protocol per the released
+    visdial_1.0_val_dense_annotations.json schema).
+
+    Batch fields beyond the encoder inputs:
+      dense_opt   (B, K, La) candidate tokens of the annotated round
+      dense_round (B,)       0-indexed annotated round
+      dense_rel   (B, K)     raw gt_relevance (normalized here)
+      dense_valid (B,)       0/1 — padded rows in the final batch
+    """
+    assert cfg.decoder == "disc", "dense fine-tuning targets disc scores"
+    impl = impl or _impl(cfg)
+    enc_rng = dec_rng = None
+    if rng is not None:
+        enc_rng, dec_rng = jax.random.split(rng)
+    joint = encoder_apply(params["encoder"], params["embed"], batch, cfg,
+                          train=train, rng=enc_rng, impl=impl)
+    B = batch["dense_rel"].shape[0]
+    joint = joint.reshape(B, cfg.num_rounds, -1)
+    joint_sel = jnp.take_along_axis(
+        joint, batch["dense_round"][:, None, None], axis=1)[:, 0]   # (B, H)
+    scores = disc_scores(params["decoder"], params["embed"], joint_sel,
+                         batch["dense_opt"], cfg, train=train, rng=dec_rng,
+                         impl=impl)                                 # (B, K)
+    rel = batch["dense_rel"].astype(jnp.float32)
+    total = jnp.sum(rel, axis=-1, keepdims=True)
+    target = rel / jnp.maximum(total, 1e-9)
+    ce = -jnp.sum(target * jax.nn.log_softmax(scores, axis=-1), axis=-1)
+    v = (batch["dense_valid"].astype(jnp.float32)
+         * (total[:, 0] > 0).astype(jnp.float32))
+    return jnp.sum(ce * v) / jnp.maximum(jnp.sum(v), 1.0)
+
+
 def model_scores(params, batch, cfg: Config, *, impl: str | None = None):
     """Candidate scores for retrieval eval: (B, R, K)."""
     impl = impl or _impl(cfg)

@@ -50,10 +50,10 @@ def shard_train_state(state: TrainState, cfg: Config, mesh: Mesh) -> TrainState:
 
 
 def train_step(state: TrainState, batch: dict, cfg: Config,
-               impl: str | None = None):
+               impl: str | None = None, loss_fn=model_loss):
     """One SGD step.  Returns (new_state, metrics dict of scalars)."""
     rng, step_rng = jax.random.split(state.rng)
-    loss, grads = jax.value_and_grad(model_loss)(
+    loss, grads = jax.value_and_grad(loss_fn)(
         state.params, batch, cfg, train=True, rng=step_rng, impl=impl)
     lr = lr_at_step(state.opt.step, cfg)
     params, opt, gnorm = apply_updates(state.params, grads, state.opt, lr, cfg)
@@ -80,6 +80,20 @@ def make_train_fn(cfg: Config, mesh: Mesh, impl: str | None = None):
         out_shardings=(ssh, rep),
         donate_argnums=(0,),
     )
+
+
+def make_dense_train_fn(cfg: Config, mesh: Mesh, impl: str | None = None):
+    """jit(train_step) over the dense-annotation fine-tuning loss
+    (model_dense_loss): same optimizer/sharding machinery as make_train_fn,
+    different objective."""
+    from ..models.model import model_dense_loss
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    ssh = state_shardings(cfg, mesh)
+    fn = partial(train_step, cfg=cfg, impl=impl, loss_fn=model_dense_loss)
+    return jax.jit(fn, in_shardings=(ssh, bsh), out_shardings=(ssh, rep),
+                   donate_argnums=(0,))
 
 
 def make_eval_fn(cfg: Config, mesh: Mesh, impl: str | None = None):
