@@ -64,3 +64,38 @@ def jax_leaves(tree):
     import jax
 
     return jax.tree.leaves(tree)
+
+
+def test_dense_train_step_on_two_axis_mesh():
+    """make_dense_train_fn runs over a (4,2) mesh (vocab-sharded embed
+    active) and matches the single-device step's loss exactly."""
+    import jax
+    import numpy as np
+
+    from conftest import small_config
+
+    from visdial_tpu.data.loader import DenseLoader
+    from visdial_tpu.parallel.mesh import make_mesh, shard_batch
+    from visdial_tpu.parallel.train_step import (
+        init_train_state,
+        make_dense_train_fn,
+        shard_train_state,
+    )
+
+    cfg = small_config(encoder="mn-ques-im-hist", decoder="disc",
+                       batch_size=8, dropout=0.0)
+    split, vocab = make_synthetic_split(cfg, num_dialogs=8, seed=11)
+    cfg = cfg.replace(vocab_size=vocab.size)
+    dense = [{"image_id": int(split.img_ids[i]), "round_id": 1,
+              "gt_relevance": [1.0] + [0.0] * (cfg.num_options - 1)}
+             for i in range(8)]
+    batch = next(DenseLoader(split, vocab, cfg, dense).epoch(seed=0))
+
+    losses = {}
+    for shape in ((1, 1), (4, 2)):
+        mesh = make_mesh(*shape, devices=jax.devices()[: shape[0] * shape[1]])
+        state = shard_train_state(init_train_state(cfg), cfg, mesh)
+        _, m = make_dense_train_fn(cfg, mesh)(state, shard_batch(batch, mesh))
+        losses[shape] = float(np.asarray(m["loss"]))
+    assert np.isfinite(losses[(1, 1)])
+    assert np.isclose(losses[(1, 1)], losses[(4, 2)], atol=1e-5), losses

@@ -149,3 +149,64 @@ def test_ndcg_from_dense_rejects_out_of_range_round_ids():
     ])
     assert out["ndcg_rounds"] == 0
     assert out["ndcg_missing"] == 2
+
+
+def test_v1_test_split_submission_flow_cli(tmp_path):
+    """The complete v1.0 test-submission flow at the CLI: prepro
+    --test_json (submission rounds: options, no gt) -> train on the
+    prepro'd train split -> evaluate --split test --save_ranks."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_prepro import K, R, make_visdial_json
+
+    from visdial_tpu.data.prepro import main as prepro_main
+
+    d = tmp_path
+    make_visdial_json(d / "train.json", 8, 40, 30, seed=0)
+    make_visdial_json(d / "val.json", 4, 40, 30, seed=1)
+    make_visdial_json(d / "test.json", 5, 40, 30, seed=2)
+    with open(d / "test.json") as f:
+        raw = json.load(f)
+    for dlg in raw["data"]["dialogs"]:      # v1.0 test shape: last round
+        del dlg["dialog"][R - 1]["answer"]  # has options but no gt
+        del dlg["dialog"][R - 1]["gt_index"]
+    with open(d / "test.json", "w") as f:
+        json.dump(raw, f)
+
+    out_dir = str(d / "out")
+    prepro_main([
+        "--train_json", str(d / "train.json"),
+        "--val_json", str(d / "val.json"),
+        "--test_json", str(d / "test.json"),
+        "--img_feats_train", "", "--img_feats_val", "",
+        "--out_dir", out_dir, "--min_count", "1",
+        "--max_ques_len", "8", "--max_ans_len", "5", "--max_cap_len", "8",
+        "--num_rounds", str(R), "--num_options", str(K),
+    ])
+
+    train_main([
+        "--data_dir", out_dir, "--encoder", "lf-ques-hist",
+        "--decoder", "disc",
+        "--embed_size", "8", "--rnn_hidden_size", "16",
+        "--img_feat_size", "1",
+        "--max_ques_len", "8", "--max_ans_len", "5", "--max_cap_len", "8",
+        "--num_rounds", str(R), "--num_options", str(K),
+        "--batch_size", "8", "--dropout", "0.0", "--log_every", "100",
+        "--max_steps", "2", "--save_every", "2",
+        "--save_path", str(d / "ckpt"), "--run_name", "run",
+    ])
+
+    ranks_path = str(d / "ranks_test.json")
+    metrics = evaluate_main([
+        "--load_path", str(d / "ckpt/run/step_00000002"),
+        "--data_dir", out_dir, "--split", "test",
+        "--save_ranks", ranks_path,
+    ])
+    assert metrics["num_examples"] == 5 * (R - 1)     # gt-less rounds out
+    with open(ranks_path) as f:
+        sub = json.load(f)
+    assert len(sub) == 5 * R                          # but all dumped
+    final = [e for e in sub if e["round_id"] == R]
+    assert len(final) == 5
+    for e in final:
+        assert sorted(e["ranks"]) == list(range(1, K + 1))

@@ -177,8 +177,12 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--train_json", required=True)
     p.add_argument("--val_json", required=True)
+    p.add_argument("--test_json", type=str, default="",
+                   help="optional v1.0 test split (submission rounds carry "
+                        "options but no gt — scoreable, not rankable)")
     p.add_argument("--img_feats_train", type=str, default="")
     p.add_argument("--img_feats_val", type=str, default="")
+    p.add_argument("--img_feats_test", type=str, default="")
     p.add_argument("--out_dir", type=str, default="data")
     p.add_argument("--min_count", type=int, default=5)
     p.add_argument("--max_ques_len", type=int, default=16)
@@ -204,8 +208,12 @@ def main(argv=None) -> None:
     vocab.save(os.path.join(args.out_dir, "visdial_params.json"))
     print(f"vocab: {vocab.size} entries (min_count={args.min_count})")
 
-    for split, data, feats_path in (("train", train, args.img_feats_train),
-                                    ("val", val, args.img_feats_val)):
+    splits = [("train", train, args.img_feats_train),
+              ("val", val, args.img_feats_val)]
+    if args.test_json:
+        splits.append(("test", load_visdial_json(args.test_json),
+                       args.img_feats_test))
+    for split, data, feats_path in splits:
         feats = load_img_feats(feats_path, split)
         out = build_split(data, vocab, caps, feats,
                           num_rounds=args.num_rounds,
