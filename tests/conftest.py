@@ -34,6 +34,18 @@ from visdial_tpu.config import Config  # noqa: E402
 from visdial_tpu.data.synthetic import make_synthetic_split  # noqa: E402
 
 
+@pytest.fixture(autouse=True)
+def _restore_default_prng_impl():
+    """CLI mains legitimately set jax_default_prng_impl for their process
+    (train.py); in-process tests calling them must not leak that global
+    into later tests (it changes what PRNGKey() means — test_golden's
+    frozen numbers depend on the default threefry impl)."""
+    before = jax.config.jax_default_prng_impl
+    yield
+    if jax.config.jax_default_prng_impl != before:
+        jax.config.update("jax_default_prng_impl", before)
+
+
 def small_config(**kw) -> Config:
     base = dict(
         vocab_size=0, embed_size=16, rnn_hidden_size=24, num_layers=2,

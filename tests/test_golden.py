@@ -49,6 +49,11 @@ def _compute_combo(encoder: str, decoder: str) -> dict:
 
     import jax
 
+    # The fixture was generated under jax's default threefry PRNG; pin it
+    # so an earlier in-process CLI run (train.py sets the global impl)
+    # cannot change what PRNGKey(seed) means here.
+    jax.config.update("jax_default_prng_impl", "threefry2x32")
+
     from visdial_tpu.config import Config
     from visdial_tpu.data.loader import EvalLoader, TrainLoader
     from visdial_tpu.data.synthetic import make_synthetic_split
