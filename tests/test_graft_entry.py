@@ -19,10 +19,19 @@ def _run(code: str) -> str:
     # Simulate the driver environment where conftest's forcing is absent:
     # no multi-device XLA_FLAGS; platform latched by sitecustomize.
     env.pop("XLA_FLAGS", None)
-    env["JAX_PLATFORMS"] = "cpu"  # keep the test off the real TPU chip
+    # Keep the test off the real TPU chip.  The env var alone is NOT enough
+    # on this host (sitecustomize latches the TPU platform before user code
+    # runs — CLAUDE.md), and a latched test silently compiles over the
+    # tunnel: minutes of wall-clock at ~0 CPU, load-dependent flakes.  The
+    # config update below actually forces CPU.
+    env["JAX_PLATFORMS"] = "cpu"
+    code = ("import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n") + code
     proc = subprocess.run(
         [sys.executable, "-c", code], cwd=REPO, env=env,
-        capture_output=True, text=True, timeout=560,
+        # Generous: ~60 s standalone, but the full suite shares this host's
+        # single CPU and a loaded box has pushed the subprocess past 560 s.
+        capture_output=True, text=True, timeout=1800,
     )
     assert proc.returncode == 0, (
         f"rc={proc.returncode}\nstdout:\n{proc.stdout}\nstderr:\n{proc.stderr}")
