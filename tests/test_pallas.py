@@ -191,6 +191,51 @@ def test_lm_score_kernel_matches_ref():
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
 
 
+def test_masked_nll_fused_value_and_grads():
+    """Fused LM-head training loss (online-logsumexp fwd + tile-softmax
+    d-logits bwd) == materialized-logits twin, values and all grads."""
+    from visdial_tpu.ops.lm_loss import masked_nll_fused, masked_nll_ref
+
+    N, T, H, V = 5, 4, 16, 37
+    k = jax.random.PRNGKey(0)
+    outs = jax.random.normal(k, (N, T, H))
+    w = jax.random.normal(jax.random.PRNGKey(1), (H, V)) * 0.3
+    b = jax.random.normal(jax.random.PRNGKey(2), (V,)) * 0.1
+    tgt = jax.random.randint(jax.random.PRNGKey(3), (N, T), 0, V)
+    tgt = tgt.at[1].set(0)          # fully-ignored row
+    tgt = tgt.at[0, 2:].set(0)      # trailing pad
+
+    ref_v, ref_g = jax.value_and_grad(masked_nll_ref, argnums=(0, 1, 2))(
+        outs, w, b, tgt)
+    fus_v, fus_g = jax.value_and_grad(masked_nll_fused, argnums=(0, 1, 2))(
+        outs, w, b, tgt)
+    np.testing.assert_allclose(np.asarray(ref_v), np.asarray(fus_v),
+                               atol=1e-5)
+    for a, b_ in zip(ref_g, fus_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_gen_loss_pallas_twin(tiny_data):
+    """gen_loss value+grads agree across impls (eval-mode: no dropout —
+    the pallas impl routes through the fused LM-head loss)."""
+    from visdial_tpu.data.loader import TrainLoader
+    from visdial_tpu.models.model import model_init, model_loss
+
+    split, vocab, cfg = tiny_data
+    cfg = cfg.replace(encoder="lf-ques-im", decoder="gen")
+    params = model_init(jax.random.PRNGKey(0), cfg)
+    batch = next(TrainLoader(split, vocab, cfg).epoch(seed=0)).as_dict()
+
+    def loss(p, impl):
+        return model_loss(p, batch, cfg, train=False, impl=impl)
+
+    v_x, g_x = jax.value_and_grad(lambda p: loss(p, "xla"))(params)
+    v_p, g_p = jax.value_and_grad(lambda p: loss(p, "pallas"))(params)
+    np.testing.assert_allclose(np.asarray(v_x), np.asarray(v_p), atol=2e-5)
+    for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
 def test_gen_candidate_scores_pallas_twin(tiny_data):
     """gen candidate scoring: fused kernel path == chunked XLA path."""
     from visdial_tpu.data.loader import EvalLoader

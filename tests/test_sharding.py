@@ -52,6 +52,36 @@ def test_sharded_train_step_matches_single_device(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_multistep_dispatch_matches_sequential(setup):
+    """G steps through make_multistep_train_fn (stacked batches, on-device
+    scan) == the same G batches through the per-step train fn — losses and
+    final params, on the 8-device mesh."""
+    from visdial_tpu.parallel.mesh import shard_batch_stack
+    from visdial_tpu.parallel.train_step import make_multistep_train_fn
+
+    cfg, batch, split = setup
+    mesh = make_mesh(data=8, model=1)
+    batches = [batch,
+               {k: np.roll(v, 1, axis=0) for k, v in batch.items()},
+               batch]
+
+    state_m = init_train_state(cfg)
+    multi_fn = make_multistep_train_fn(cfg, mesh)
+    state_m, m = multi_fn(state_m, shard_batch_stack(batches, mesh))
+    assert np.asarray(m["loss"]).shape == (3,)
+
+    state_s = init_train_state(cfg)
+    fn = make_train_fn(cfg, mesh)
+    losses = []
+    for b in batches:
+        state_s, ms = fn(state_s, shard_batch(b, mesh))
+        losses.append(float(ms["loss"]))
+    np.testing.assert_allclose(np.asarray(m["loss"]), losses, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_m.params),
+                    jax.tree.leaves(state_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_sharded_eval_matches_single_device(setup):
     cfg, batch, _ = setup
     mesh8 = make_mesh(data=8, model=1)

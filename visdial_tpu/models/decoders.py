@@ -53,11 +53,10 @@ def _joint_to_state(joint: jnp.ndarray, num_layers: int):
 # gen
 # ---------------------------------------------------------------------------
 
-def gen_logits(params, embed_params, joint, tokens_in, cfg: Config,
+def _lm_hidden(params, embed_params, joint, tokens_in, cfg: Config,
                *, train=False, rng=None, impl="xla"):
-    """Teacher-forced logits.  tokens_in (N, T) left-aligned; returns
-    (N, T, V) in float32 (softmax stability), matmuls in the compute
-    dtype."""
+    """Teacher-forced top-layer LSTM states (N, T, H) in the compute
+    dtype; tokens_in (N, T) left-aligned."""
     vecs = embed(embed_params, tokens_in).astype(jnp.dtype(cfg.compute_dtype))
     mask = (tokens_in != 0).astype(vecs.dtype)
     h0, c0 = _joint_to_state(joint.astype(vecs.dtype), cfg.num_layers)
@@ -65,6 +64,16 @@ def gen_logits(params, embed_params, joint, tokens_in, cfg: Config,
         params["lm_lstm"], vecs, mask, h0, c0,
         impl=impl, dropout_rng=rng, dropout_rate=cfg.dropout if train else 0.0,
     )
+    return outs
+
+
+def gen_logits(params, embed_params, joint, tokens_in, cfg: Config,
+               *, train=False, rng=None, impl="xla"):
+    """Teacher-forced logits.  tokens_in (N, T) left-aligned; returns
+    (N, T, V) in float32 (softmax stability), matmuls in the compute
+    dtype."""
+    outs = _lm_hidden(params, embed_params, joint, tokens_in, cfg,
+                      train=train, rng=rng, impl=impl)
     return linear(params["out_proj"], outs, out_dtype=jnp.float32)
 
 
@@ -90,6 +99,15 @@ def gen_loss(params, embed_params, joint, batch, cfg: Config,
     # lone <END> target is zeroed out here.  No-op for v0.9 data.
     has_answer = (tokens_in[:, 1] != 0).astype(tokens_out.dtype)
     tokens_out = tokens_out * has_answer[:, None]
+    if impl == "pallas":
+        # Fused LM-head loss: the (N, T, V) logits tensor never exists in
+        # either direction (ops/lm_loss.py; same math as the twin below).
+        from ..ops.lm_loss import masked_nll_fused
+
+        outs = _lm_hidden(params, embed_params, joint, tokens_in, cfg,
+                          train=train, rng=rng, impl=impl)
+        return masked_nll_fused(outs, params["out_proj"]["w"],
+                                params["out_proj"]["b"], tokens_out)
     logits = gen_logits(params, embed_params, joint, tokens_in, cfg,
                         train=train, rng=rng, impl=impl)
     return masked_nll(logits, tokens_out)

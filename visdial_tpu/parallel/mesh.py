@@ -87,3 +87,19 @@ def shard_batch(batch_dict: dict, mesh: Mesh) -> dict:
     """device_put every batch array with the data-axis sharding."""
     sh = batch_sharding(mesh)
     return {k: jax.device_put(v, sh) for k, v in batch_dict.items()}
+
+
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """For a stack of G per-step batches (multi-step dispatch): leading
+    group axis replicated (it is scanned over), dialog axis (dim 1) on
+    'data'."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
+def shard_batch_stack(batch_dicts: list, mesh: Mesh) -> dict:
+    """Stack G host batches along a new leading axis and device_put with
+    the stacked sharding — ONE transfer per dispatch group instead of G."""
+    sh = stacked_batch_sharding(mesh)
+    keys = batch_dicts[0].keys()
+    return {k: jax.device_put(np.stack([d[k] for d in batch_dicts]), sh)
+            for k in keys}

@@ -62,6 +62,42 @@ def train_step(state: TrainState, batch: dict, cfg: Config,
     return TrainState(params, opt, rng), metrics
 
 
+def multi_train_step(state: TrainState, batches: dict, cfg: Config,
+                     impl: str | None = None, loss_fn=model_loss):
+    """G optimizer steps in one traced program: lax.scan of train_step over
+    a stack of G batches (leading axis).  Returns (state, metrics) with
+    every metric stacked to (G,).
+
+    TPU-first dispatch amortization: one host->device dispatch (and one
+    batch transfer) per G steps instead of per step.  Per-step host dispatch
+    is pure overhead the chip idles through — measured 1-3 ms/step on a
+    tunneled link against a 8 ms gen-decoder step (it also gives XLA a
+    whole-group scheduling window).  No reference analog (train.lua
+    dispatches per iteration by construction).
+    """
+    def body(s, b):
+        return train_step(s, b, cfg, impl, loss_fn)
+
+    return jax.lax.scan(body, state, batches)
+
+
+def make_multistep_train_fn(cfg: Config, mesh: Mesh, impl: str | None = None,
+                            loss_fn=model_loss):
+    """jit(multi_train_step): batches carry a leading group axis, sharded
+    (None, 'data'); state donated."""
+    from .mesh import stacked_batch_sharding
+
+    rep = replicated(mesh)
+    ssh = state_shardings(cfg, mesh)
+    fn = partial(multi_train_step, cfg=cfg, impl=impl, loss_fn=loss_fn)
+    return jax.jit(
+        fn,
+        in_shardings=(ssh, stacked_batch_sharding(mesh)),
+        out_shardings=(ssh, rep),
+        donate_argnums=(0,),
+    )
+
+
 def make_train_fn(cfg: Config, mesh: Mesh, impl: str | None = None):
     """jit(train_step) with explicit shardings over the mesh.
 

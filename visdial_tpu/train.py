@@ -25,10 +25,10 @@ from .data.dataset import load_split
 from .data.loader import TrainLoader
 from .data.synthetic import make_synthetic_split
 from .eval_harness import evaluate_split
-from .parallel.mesh import make_mesh, shard_batch
+from .parallel.mesh import make_mesh, shard_batch, shard_batch_stack
 from .parallel.train_step import (init_train_state, make_disc_table_eval_fns,
                                   make_eval_fn, make_gen_bucket_eval_fns,
-                                  make_train_fn)
+                                  make_multistep_train_fn, make_train_fn)
 from .utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from .utils.logging import MetricsLogger
 from .utils.platform import apply_platform_env, profiler_supported
@@ -59,6 +59,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "JSONL events) for the first N steps — the "
                         "profiler-free timing story; slows training while "
                         "active (forces a device sync every step)")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="optimizer steps per device dispatch (>1 scans G "
+                        "steps in one jitted call over a stacked batch "
+                        "group — amortizes per-step host dispatch, the "
+                        "dominant overhead for fast steps on high-latency "
+                        "links; metrics/eval/checkpoint cadences quantize "
+                        "to group boundaries)")
     p.add_argument("--eval_resident",
                    type=lambda s: s.lower() in ("1", "true", "yes"),
                    default=True,
@@ -115,7 +122,9 @@ def main(argv=None) -> dict:
                         "false for reference-exact per-round noise"})
 
     mesh = make_mesh(cfg.mesh_data, cfg.mesh_model)
+    group = max(1, args.steps_per_dispatch)
     train_fn = make_train_fn(cfg, mesh)
+    multi_fn = (make_multistep_train_fn(cfg, mesh) if group > 1 else None)
     # Each decoder's eval fast path, compiled once and reused across evals:
     # disc = option-table scoring; gen = length-bucketed candidate rows.
     eval_fn = table_fns = gen_fns = None
@@ -166,64 +175,86 @@ def main(argv=None) -> dict:
     # epoch's batch order is a pure function of (seed, epoch), so skipping
     # the already-consumed prefix reproduces the unbroken run exactly.
     skip = step % steps_per_epoch
+
+    def flush_losses():
+        # Keep losses as device scalars/arrays between log points: a
+        # per-step float() readback would sync host<->device every step and
+        # gate dispatch of the next one.  Runs before every checkpoint/eval
+        # so a NaN can never reach a saved checkpoint unnoticed (failure
+        # detection, SURVEY.md §5: the latest good checkpoint +
+        # deterministic resume is recovery).
+        nonlocal running
+        if not loss_buf:
+            return None
+        losses = np.concatenate(
+            [np.asarray(x, np.float64).ravel() for x in loss_buf])
+        loss_buf.clear()
+        for loss in losses:
+            running = (loss if running is None
+                       else 0.95 * running + 0.05 * loss)
+        bad = losses[~np.isfinite(losses)]
+        if bad.size:
+            log.log({"event": "non_finite_loss", "step": step,
+                     "loss": float(bad[0])})
+            raise FloatingPointError(
+                f"non-finite loss {bad[0]} by step {step}; "
+                "re-run with --debug_nans to locate the origin")
+        return float(losses[-1])
+
+    def crossed(every, prev):
+        return prev // every != step // every
+
     while step < max_steps:
-        for batch_idx, batch in enumerate(loader.epoch(seed=cfg.seed + epoch)):
-            if batch_idx < skip:
-                continue
-            if prof_range and step == prof_range[0]:
+        batch_iter = (b for i, b in enumerate(loader.epoch(seed=cfg.seed + epoch))
+                      if i >= skip)
+        while step < max_steps:
+            pending = []
+            for b in batch_iter:
+                pending.append(b.as_dict())
+                if len(pending) >= min(group, max_steps - step):
+                    break
+            if not pending:
+                break                       # epoch exhausted
+            if prof_range and step <= prof_range[0] < step + len(pending):
                 jax.profiler.start_trace(os.path.join(ckpt_dir, "trace"))
-            b = shard_batch(batch.as_dict(), mesh)
             timing = args.time_steps and step < args.time_steps
             if timing:
-                t0 = time.time()  # prior step synced by its own readback
-            state, m = train_fn(state, b)
-            step += 1
+                t0 = time.time()  # prior dispatch synced by its own readback
+            prev = step
+            if len(pending) == group and multi_fn is not None:
+                # One dispatch for the whole group: stacked transfer +
+                # on-device lax.scan of the step (metrics come back (G,)).
+                state, m = multi_fn(state, shard_batch_stack(pending, mesh))
+                step += len(pending)
+            else:  # group==1, epoch tail, or max_steps trim
+                for bd in pending:
+                    state, m = train_fn(state, shard_batch(bd, mesh))
+                    step += 1
+            loss_buf.append(m["loss"])
             if timing:
                 # block_until_ready does not block under the tunneled TPU
                 # runtime (CLAUDE.md); a host readback is the reliable sync.
-                loss_now = float(np.asarray(m["loss"]))
+                loss_now = float(np.asarray(m["loss"]).ravel()[-1])
                 log.log({"event": "step_time", "step": step,
-                         "seconds": time.time() - t0, "loss": loss_now})
-            if prof_range and step == prof_range[1]:
+                         "seconds": (time.time() - t0) / len(pending),
+                         "steps_per_dispatch": len(pending),
+                         "loss": loss_now})
+            if prof_range and prev < prof_range[1] <= step:
                 jax.profiler.stop_trace()
-            # Keep losses as device scalars between log points: a per-step
-            # float() readback would sync host<->device every step and gate
-            # dispatch of the next one.  flush_losses() also runs before
-            # every checkpoint/eval so a NaN can never reach a saved
-            # checkpoint unnoticed (failure detection, SURVEY.md §5: the
-            # latest good checkpoint + deterministic resume is recovery).
-            loss_buf.append(m["loss"])
 
-            def flush_losses():
-                nonlocal running
-                if not loss_buf:
-                    return None
-                losses = [float(np.asarray(x)) for x in loss_buf]
-                loss_buf.clear()
-                for loss in losses:
-                    running = (loss if running is None
-                               else 0.95 * running + 0.05 * loss)
-                bad = [x for x in losses if not np.isfinite(x)]
-                if bad:
-                    log.log({"event": "non_finite_loss", "step": step,
-                             "loss": bad[0]})
-                    raise FloatingPointError(
-                        f"non-finite loss {bad[0]} by step {step}; "
-                        "re-run with --debug_nans to locate the origin")
-                return losses[-1]
-
-            if step % cfg.log_every == 0 or step >= max_steps:
+            if crossed(cfg.log_every, prev) or step >= max_steps:
                 last_loss = flush_losses()
                 dt = time.time() - t_last
                 rps = (step - s_last) * rounds_per_batch / max(dt, 1e-9)
                 log.log({"event": "train", "step": step, "epoch": epoch,
                          "loss": last_loss, "running_loss": running,
-                         "lr": float(np.asarray(m["lr"])),
-                         "grad_norm": float(np.asarray(m["grad_norm"])),
+                         "lr": float(np.asarray(m["lr"]).ravel()[-1]),
+                         "grad_norm":
+                             float(np.asarray(m["grad_norm"]).ravel()[-1]),
                          "rounds_per_sec": rps,
                          "rounds_per_sec_per_chip": rps / len(jax.devices())})
                 t_last, s_last = time.time(), step
-            if step % eval_every == 0 or step >= max_steps:
+            if crossed(eval_every, prev) or step >= max_steps:
                 flush_losses()
                 metrics = evaluate_split(state.params, val_data, vocab, cfg,
                                          mesh, eval_fn=eval_fn,
@@ -233,12 +264,10 @@ def main(argv=None) -> dict:
                                          resident_max_bytes=2 << 30)
                 last_eval = metrics
                 log.log({"event": "eval", "step": step, **metrics})
-            if step % save_every == 0 or step >= max_steps:
+            if crossed(save_every, prev) or step >= max_steps:
                 flush_losses()   # never checkpoint past an undetected NaN
                 path = save_checkpoint(ckpt_dir, state, cfg)
                 log.log({"event": "checkpoint", "step": step, "path": path})
-            if step >= max_steps:
-                break
         epoch += 1
         skip = 0
     log.log({"event": "done", "step": step, **{f"final_{k}": v
