@@ -132,14 +132,14 @@ def test_decode_step_matches_torch_cell():
 # bugs (reshapes, round folding, causal masks, right-alignment readout)
 # that per-module tests cannot.
 
-def _twin_setup(encoder):
+def _twin_setup(encoder, decoder="disc"):
     from conftest import small_config
 
     from visdial_tpu.data.loader import EvalLoader
     from visdial_tpu.data.synthetic import make_synthetic_split
     from visdial_tpu.models.model import model_init, model_scores
 
-    cfg = small_config(encoder=encoder, decoder="disc", dropout=0.0)
+    cfg = small_config(encoder=encoder, decoder=decoder, dropout=0.0)
     split, vocab = make_synthetic_split(cfg, num_dialogs=3, seed=9)
     cfg = cfg.replace(vocab_size=vocab.size)
     params = model_init(jax.random.PRNGKey(1), cfg)
@@ -192,6 +192,111 @@ def test_mn_qih_disc_whole_model_matches_torch_twin():
                 twin[b, r, k] = joint @ _lstm_last(
                     m_o, table, batch.opt[b, r, k], H)
     np.testing.assert_allclose(ours, twin, atol=3e-4)
+
+
+def _mn_joint(cfg, params, batch, b, r, m_q, m_f, f_h, img_h):
+    """MN encoder joint embedding for one (dialog, round) — explicit loops."""
+    H = cfg.rnn_hidden_size
+    enc = params["encoder"]
+    table = np.asarray(params["embed"]["table"])
+    q_h = _lstm_last(m_q, table, batch.ques[b, r], H)
+    query = np.tanh(_lin(enc["query_fusion"],
+                         np.concatenate([q_h, img_h[b]])))
+    logits = np.array([query @ f_h[s] for s in range(r + 1)])
+    att = np.exp(logits - logits.max())
+    att /= att.sum()
+    mem = sum(att[s] * f_h[s] for s in range(r + 1))
+    return np.tanh(_lin(enc["fusion"], np.concatenate([query, mem])))
+
+
+def test_mn_qih_gen_whole_model_matches_torch_twin():
+    """The full GEN scoring path — forwardConnect (h0=joint per layer,
+    c0=0), teacher-forced candidate token log-probs summed over REAL tokens
+    only — against an independent torch+numpy reimplementation.  Catches
+    forwardConnect, answer masking, and candidate-fold bugs the
+    self-referential golden fixture cannot."""
+    cfg, params, batch, ours = _twin_setup("mn-ques-im-hist", decoder="gen")
+    E, H, L = cfg.embed_size, cfg.rnn_hidden_size, cfg.num_layers
+    table = np.asarray(params["embed"]["table"])
+    enc, dec = params["encoder"], params["decoder"]
+    m_q = _to_torch_lstm(enc["ques_lstm"], E, H, L)
+    m_f = _to_torch_lstm(enc["fact_lstm"], E, H, L)
+    m_lm = _to_torch_lstm(dec["lm_lstm"], E, H, L)
+    w_out = np.asarray(dec["out_proj"]["w"], np.float32)
+    b_out = np.asarray(dec["out_proj"]["b"], np.float32)
+
+    img_h = _lin(enc["img_proj"], np.asarray(batch.img, np.float32))
+    B, R, K = batch.ques.shape[0], cfg.num_rounds, cfg.num_options
+    twin = np.zeros((B, R, K), np.float32)
+    for b in range(B):
+        f_h = [_lstm_last(m_f, table, batch.facts[b, s], H) for s in range(R)]
+        for r in range(R):
+            joint = _mn_joint(cfg, params, batch, b, r, m_q, m_f, f_h, img_h)
+            h0 = torch.from_numpy(np.tile(joint, (L, 1, 1)).astype(np.float32))
+            c0 = torch.zeros(L, 1, H)
+            for k in range(K):
+                tin = np.asarray(batch.opt_in[b, r, k])
+                tout = np.asarray(batch.opt_out[b, r, k])
+                n = int((tin != 0).sum())        # <START> + real tokens
+                x = torch.from_numpy(table[tin[:n]][None].astype(np.float32))
+                with torch.no_grad():
+                    outs, _ = m_lm(x, (h0, c0))
+                logits = outs[0].numpy() @ w_out + b_out        # (n, V)
+                logp = logits - np.log(
+                    np.exp(logits - logits.max(-1, keepdims=True)).sum(
+                        -1, keepdims=True)) - logits.max(-1, keepdims=True)
+                s = sum(logp[t, tout[t]] for t in range(n) if tout[t] != 0)
+                twin[b, r, k] = s
+    np.testing.assert_allclose(ours, twin, atol=3e-4)
+
+
+def _hre_twin(encoder):
+    """HRE/HREA-QIH-disc whole-model twin: per-dialog fact->dialog-LSTM
+    chain (HRE: round state readout; HREA: softmax attention over dialog
+    states), torch LSTMs + numpy wiring."""
+    cfg, params, batch, ours = _twin_setup(encoder)
+    E, H, L = cfg.embed_size, cfg.rnn_hidden_size, cfg.num_layers
+    table = np.asarray(params["embed"]["table"])
+    enc, dec = params["encoder"], params["decoder"]
+    m_q = _to_torch_lstm(enc["ques_lstm"], E, H, L)
+    m_f = _to_torch_lstm(enc["fact_lstm"], E, H, L)
+    m_d = _to_torch_lstm(enc["dialog_lstm"], H, H, 1)
+    m_o = _to_torch_lstm(dec["opt_lstm"], E, H, L)
+
+    img_h = _lin(enc["img_proj"], np.asarray(batch.img, np.float32))
+    B, R, K = batch.ques.shape[0], cfg.num_rounds, cfg.num_options
+    twin = np.zeros((B, R, K), np.float32)
+    for b in range(B):
+        f_h = np.stack([_lstm_last(m_f, table, batch.facts[b, s], H)
+                        for s in range(R)])                       # (R, H)
+        with torch.no_grad():  # dialog-level LSTM over the R fact slots
+            d_outs, _ = m_d(torch.from_numpy(f_h[None].astype(np.float32)))
+        d_outs = d_outs[0].numpy()                                # (R, H)
+        for r in range(R):
+            q_h = _lstm_last(m_q, table, batch.ques[b, r], H)
+            query = np.tanh(_lin(enc["query_fusion"],
+                                 np.concatenate([q_h, img_h[b]])))
+            if encoder.startswith("hrea"):
+                logits = np.array([query @ d_outs[s] for s in range(r + 1)])
+                att = np.exp(logits - logits.max())
+                att /= att.sum()
+                ctx = sum(att[s] * d_outs[s] for s in range(r + 1))
+            else:   # HRE: history representation = dialog state after slot r
+                ctx = d_outs[r]
+            joint = np.tanh(_lin(enc["fusion"],
+                                 np.concatenate([query, ctx])))
+            for k in range(K):
+                twin[b, r, k] = joint @ _lstm_last(
+                    m_o, table, batch.opt[b, r, k], H)
+    np.testing.assert_allclose(ours, twin, atol=3e-4)
+
+
+def test_hre_qih_disc_whole_model_matches_torch_twin():
+    _hre_twin("hre-ques-im-hist")
+
+
+def test_hrea_qih_disc_whole_model_matches_torch_twin():
+    _hre_twin("hrea-ques-im-hist")
 
 
 def test_lf_qih_disc_whole_model_matches_torch_twin():
