@@ -48,6 +48,44 @@ def test_tokenize_lowercase_and_punct():
     assert toks == ["is", "there", "a", "dog", "?"]
 
 
+def test_tokenizer_matches_frozen_fixture():
+    """Tokenizer parity pin (SURVEY.md hard part #1): 57 representative
+    VisDial-style strings (contractions, possessives, punctuation, quotes,
+    multi-sentence answers, abbreviations, numerals) with frozen expected
+    token lists.  Runs against whichever branch is active (word_tokenize
+    when punkt data is installed, the sentence-split + NLTKWordTokenizer
+    fallback otherwise) — a divergent nltk behavior fails here instead of
+    silently shifting the vocabulary and wrecking MRR parity."""
+    fix_path = os.path.join(os.path.dirname(__file__), "golden",
+                            "token_fixture.json")
+    with open(fix_path) as f:
+        fixture = json.load(f)
+    assert len(fixture) >= 50
+    for text, expected in fixture:
+        assert tokenize(text) == expected, f"tokenizer drift on {text!r}"
+
+
+def test_vocab_content_hash_roundtrip(tmp_path):
+    """prepro stores a sha256 of the vocab in visdial_params.json; load
+    verifies it, and a tampered artifact fails loudly."""
+    from visdial_tpu.data.dataset import Vocabulary
+
+    vocab = Vocabulary.build([["a", "b", "a"], ["a", "b", "c"]], min_count=2)
+    path = str(tmp_path / "visdial_params.json")
+    vocab.save(path)
+    with open(path) as f:
+        payload = json.load(f)
+    assert payload["vocab_sha256"] == vocab.content_hash()
+    loaded = Vocabulary.load(path)          # hash validates silently
+    assert loaded.word2ind == vocab.word2ind
+
+    payload["word2ind"]["zzz"] = 99          # tamper
+    with open(path, "w") as f:
+        json.dump(payload, f)
+    with pytest.raises(ValueError, match="vocab_sha256 mismatch"):
+        Vocabulary.load(path)
+
+
 @pytest.fixture(scope="module")
 def prepro_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("prepro")

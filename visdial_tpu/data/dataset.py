@@ -153,14 +153,34 @@ class Vocabulary:
     def decode(self, ids) -> list[str]:
         return [self.ind2word[int(i)] for i in ids if int(i) != PAD]
 
+    def content_hash(self) -> str:
+        """sha256 over the sorted (word, index) pairs — the identity of the
+        vocabulary artifact.  Stored in visdial_params.json and printed by
+        prepro so any tokenizer/vocab drift (nltk change, min-count tie
+        behavior) is detectable by hash comparison instead of a silent MRR
+        shift (SURVEY.md hard part #1)."""
+        import hashlib
+
+        payload = json.dumps(sorted(self.word2ind.items()),
+                             separators=(",", ":")).encode()
+        return hashlib.sha256(payload).hexdigest()
+
     def save(self, path: str) -> None:
         with open(path, "w") as f:
-            json.dump({"word2ind": self.word2ind}, f)
+            json.dump({"word2ind": self.word2ind,
+                       "vocab_sha256": self.content_hash()}, f)
 
     @classmethod
     def load(cls, path: str) -> "Vocabulary":
         with open(path) as f:
-            return cls(word2ind=json.load(f)["word2ind"])
+            payload = json.load(f)
+        vocab = cls(word2ind=payload["word2ind"])
+        stored = payload.get("vocab_sha256")
+        if stored is not None and stored != vocab.content_hash():
+            raise ValueError(
+                f"{path}: vocab_sha256 mismatch — the artifact was edited "
+                "or corrupted after prepro wrote it")
+        return vocab
 
     @classmethod
     def build(cls, token_lists, min_count: int = 5) -> "Vocabulary":

@@ -42,10 +42,46 @@ from .dataset import VisDialSplit, Vocabulary
 
 _TOKENIZE = None
 
+# nltk's word_tokenize (>=3.5) = punkt sentence split + NLTKWordTokenizer
+# per sentence.  The data-free fallback mirrors that structure exactly: the
+# SAME NLTKWordTokenizer class, fed by a regex sentence split
+# (sentence-final punctuation + whitespace) with a small abbreviation guard
+# standing in for punkt's learned abbreviation model.  On single-sentence
+# text fallback == word_tokenize by construction; on multi-sentence answers
+# ("yes. it is.") a plain whole-string tokenizer call would keep "yes."
+# fused — the split fixes exactly that divergence.  The residual gap is
+# punkt's statistical abbreviation/ellipsis decisions on text outside the
+# guard list (rare in lowercase VisDial QA text);
+# tests/golden/token_fixture.json freezes the expected tokens so ANY drift
+# — an nltk upgrade, punkt-vs-fallback disagreement — fails the suite
+# instead of silently shifting the vocab (SURVEY.md hard part #1).
+import re
+
+_SENT_RE = re.compile(r"(?<=[.!?])\s+")
+# lowercase (input is lowercased) abbreviations punkt reliably keeps
+# mid-sentence; the fallback must not split after them either.
+_ABBREVS = frozenset((
+    "mr.", "mrs.", "ms.", "dr.", "prof.", "st.", "mt.", "u.s.", "u.k.",
+    "a.m.", "p.m.", "e.g.", "i.e.", "etc.", "vs.", "approx.", "ft.", "in.",
+))
+
+
+def _sentences(text: str) -> list[str]:
+    parts = []
+    for p in _SENT_RE.split(text):
+        if not p:
+            continue
+        if parts and parts[-1].rsplit(None, 1)[-1] in _ABBREVS:
+            parts[-1] = parts[-1] + " " + p
+        else:
+            parts.append(p)
+    return parts
+
 
 def tokenize(text: str) -> list[str]:
     """Lowercased word tokens; nltk word_tokenize with a data-free
-    Treebank fallback (documented decision — see module docstring)."""
+    sentence-split + NLTKWordTokenizer fallback (documented decision — see
+    module docstring and the fallback note above)."""
     global _TOKENIZE
     if _TOKENIZE is None:
         try:
@@ -53,8 +89,14 @@ def tokenize(text: str) -> list[str]:
             word_tokenize("probe")  # raises LookupError without punkt data
             _TOKENIZE = word_tokenize
         except Exception:
-            from nltk.tokenize import TreebankWordTokenizer
-            _TOKENIZE = TreebankWordTokenizer().tokenize
+            try:
+                from nltk.tokenize import NLTKWordTokenizer
+                tk = NLTKWordTokenizer().tokenize
+            except ImportError:    # pre-3.5 nltk: the older Treebank class
+                from nltk.tokenize import TreebankWordTokenizer
+                tk = TreebankWordTokenizer().tokenize
+            _TOKENIZE = lambda s: [t for sent in _sentences(s)
+                                   for t in tk(sent)]
     return _TOKENIZE(str(text).lower())
 
 
@@ -206,7 +248,8 @@ def main(argv=None) -> None:
               + [tokenize(d.get("caption", "")) for d in train["dialogs"]])
     vocab = Vocabulary.build(corpus, min_count=args.min_count)
     vocab.save(os.path.join(args.out_dir, "visdial_params.json"))
-    print(f"vocab: {vocab.size} entries (min_count={args.min_count})")
+    print(f"vocab: {vocab.size} entries (min_count={args.min_count}) "
+          f"sha256={vocab.content_hash()}")
 
     splits = [("train", train, args.img_feats_train),
               ("val", val, args.img_feats_val)]
