@@ -197,6 +197,83 @@ def test_beam_search_decode(tiny_data):
             assert (row[first0:] == 0).all()
 
 
+def test_beam_search_matches_brute_force_oracle():
+    """Exact beam-search verification (SURVEY.md §2 #3 generate.lua
+    -beamSize [U]): on a tiny vocab/length, a wide-enough beam must return
+    the TRUE argmax sequence and score from exhaustive enumeration, and
+    the best score must be monotone non-decreasing in beam width.
+
+    Oracle scoring mirrors the documented behavior of record: score(s) =
+    sum of token log-probs; a sequence ending before max_len additionally
+    pays the better of log p(<END>) / log p(<PAD>) at its stop step (both
+    stop a beam); a sequence reaching max_len pays no stop cost.
+    """
+    from itertools import product
+
+    from visdial_tpu.models.core import embed, embedding_init, linear
+    from visdial_tpu.models.decoders import (
+        _joint_to_state,
+        decoder_init,
+        gen_beam_decode,
+    )
+    from visdial_tpu.ops.lstm import lstm_step
+
+    V, E, H, L, MAX_LEN = 7, 6, 8, 2, 3
+    START, END = V - 1, V - 2
+    live = [t for t in range(1, V) if t not in (START, END)]   # 4 tokens
+    cfg = small_config().replace(vocab_size=V, embed_size=E,
+                                 rnn_hidden_size=H, num_layers=L,
+                                 decoder="gen", max_ans_len=MAX_LEN)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    emb = embedding_init(k1, V, E)
+    dec = decoder_init(k2, cfg)
+    joint = jax.random.normal(k3, (2, H))
+
+    def logp_seq(b, seq):
+        """(score with stop options, score without stop) for live-token seq."""
+        h, c = _joint_to_state(joint[b:b + 1], L)
+        tok, total = START, 0.0
+        for t in seq:
+            x = embed(emb, jnp.array([[tok]]))[:, 0]
+            top, h, c = lstm_step(dec["lm_lstm"], x, h, c)
+            logp = jax.nn.log_softmax(
+                linear(dec["out_proj"], top, out_dtype=jnp.float32))[0]
+            total += float(logp[t])
+            tok = t
+        x = embed(emb, jnp.array([[tok]]))[:, 0]
+        top, h, c = lstm_step(dec["lm_lstm"], x, h, c)
+        logp = jax.nn.log_softmax(
+            linear(dec["out_proj"], top, out_dtype=jnp.float32))[0]
+        stop = max(float(logp[END]), float(logp[0]))
+        return total + stop, total
+
+    best_score = {}
+    best_seq = {}
+    for b in range(2):
+        cands = []
+        for k in range(MAX_LEN + 1):
+            for seq in product(live, repeat=k):
+                with_stop, without = logp_seq(b, seq)
+                cands.append((with_stop if k < MAX_LEN else without, seq))
+        score, seq = max(cands)
+        best_score[b], best_seq[b] = score, seq
+
+    prev = [-np.inf, -np.inf]
+    for W in (1, 2, 4, 16, 128):
+        toks, logp = gen_beam_decode(dec, emb, joint, cfg,
+                                     start_token=START, end_token=END,
+                                     beam_size=W, max_len=MAX_LEN)
+        toks, logp = np.asarray(toks), np.asarray(logp)
+        for b in range(2):
+            assert logp[b] >= prev[b] - 1e-5, f"width {W} regressed row {b}"
+            prev[b] = logp[b]
+    # widest beam == exhaustive search
+    for b in range(2):
+        got = tuple(int(t) for t in toks[b] if t != 0)
+        assert got == best_seq[b], (W, got, best_seq[b])
+        np.testing.assert_allclose(logp[b], best_score[b], atol=1e-4)
+
+
 def test_disc_table_scoring_matches_direct(tiny_data):
     """The option-table eval fast path must produce exactly the same scores
     as re-encoding all candidates per batch (no dropout at eval, so the
