@@ -34,6 +34,21 @@ from visdial_tpu.config import Config  # noqa: E402
 from visdial_tpu.data.synthetic import make_synthetic_split  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test — excluded from the quick set")
+    config.addinivalue_line(
+        "markers", "quick: fast test (auto-applied to everything not slow); "
+                   "`pytest -m quick` is the ~5-min iteration loop on this "
+                   "1-CPU box, the full suite stays the pre-commit bar")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture(autouse=True)
 def _restore_default_prng_impl():
     """CLI mains legitimately set jax_default_prng_impl for their process

@@ -17,8 +17,16 @@ from visdial_tpu.parallel.train_step import (
 )
 from tests.conftest import small_config
 
+# Quick-set representatives: one encoder per family plus the flagship —
+# the full 9x2 matrix runs in the (pre-commit) full suite.
+_QUICK_ENCODERS = {"lf-ques-im-hist", "mn-ques-im-hist",
+                   "hre-ques-hist", "hrea-ques-im-hist"}
+_ENC_PARAMS = [
+    pytest.param(e, marks=() if e in _QUICK_ENCODERS
+                 else (pytest.mark.slow,)) for e in ENCODERS]
 
-@pytest.mark.parametrize("encoder", ENCODERS)
+
+@pytest.mark.parametrize("encoder", _ENC_PARAMS)
 @pytest.mark.parametrize("decoder", DECODERS)
 def test_combo_trains_and_scores(encoder, decoder):
     cfg = small_config(encoder=encoder, decoder=decoder, batch_size=4,

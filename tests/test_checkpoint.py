@@ -4,6 +4,7 @@ torch.save kept only weights, so it could not truly resume) and the 2-axis
 
 import jax
 import numpy as np
+import pytest
 
 from visdial_tpu.data.synthetic import make_synthetic_split, random_batch
 from visdial_tpu.parallel.mesh import make_mesh, shard_batch
@@ -47,6 +48,7 @@ def test_checkpoint_roundtrip_full_state(tmp_path):
                                   np.asarray(jax.random.key_data(state2.rng)))
 
 
+@pytest.mark.slow
 def test_resume_continues_identically(tmp_path):
     """Train 6 steps straight vs 3 steps -> checkpoint -> 3 more: identical
     parameters (deterministic resume is the recovery story, SURVEY.md §5)."""
@@ -70,6 +72,7 @@ def test_resume_continues_identically(tmp_path):
     tree_allclose(state_a.params, state_b2.params, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_two_axis_mesh_matches_data_parallel():
     """(data=4, model=2) with the vocab-sharded parameter layout produces
     the same step as (data=8, model=1)."""

@@ -24,7 +24,16 @@ def _batch_for(cfg, n=4, seed=0):
     return {k: jnp.asarray(v) for k, v in b.as_dict().items()}, cfg
 
 
-@pytest.mark.parametrize("encoder", ENCODERS)
+# Quick-set representatives (full 9x2 matrix in the full suite; same split
+# as tests/test_all_combos.py)
+_QUICK_ENCODERS = {"lf-ques-im-hist", "mn-ques-im-hist",
+                   "hre-ques-hist", "hrea-ques-im-hist"}
+_ENC_PARAMS = [
+    pytest.param(e, marks=() if e in _QUICK_ENCODERS
+                 else (pytest.mark.slow,)) for e in ENCODERS]
+
+
+@pytest.mark.parametrize("encoder", _ENC_PARAMS)
 @pytest.mark.parametrize("decoder", ["disc", "gen"])
 def test_all_variants_build_and_score(encoder, decoder):
     cfg = small_config(encoder=encoder, decoder=decoder)
@@ -197,6 +206,74 @@ def test_beam_search_decode(tiny_data):
             assert (row[first0:] == 0).all()
 
 
+def test_img_spatial_pathway_matches_manual():
+    """img_spatial (beyond-reference conv5 pathway): the question-queried
+    spatial attention over projected pool5 locations == a manual
+    numpy softmax loop."""
+    from visdial_tpu.models.encoders import _image_pathway
+    from visdial_tpu.models.core import linear_init
+
+    B, R, S, C, H = 2, 3, 4, 6, 5
+    cfg = small_config(encoder="lf-ques-im").replace(
+        img_spatial=True, img_spatial_slots=S, img_spatial_channels=C,
+        img_feat_size=S * C, rnn_hidden_size=H)
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((B, S * C)).astype(np.float32)
+    q = rng.standard_normal((B * R, H)).astype(np.float32)
+    params = {"img_proj": linear_init(jax.random.PRNGKey(0), C, H)}
+
+    got = np.asarray(_image_pathway(params, {"img": jnp.asarray(img)},
+                                    jnp.asarray(q), cfg, B, R, "xla"))
+    w, b = np.asarray(params["img_proj"]["w"]), np.asarray(params["img_proj"]["b"])
+    loc_h = img.reshape(B, S, C) @ w + b                      # (B, S, H)
+    for bi in range(B):
+        for r in range(R):
+            logits = loc_h[bi] @ q[bi * R + r]
+            att = np.exp(logits - logits.max())
+            att /= att.sum()
+            np.testing.assert_allclose(got[bi * R + r], att @ loc_h[bi],
+                                       atol=1e-5)
+
+
+@pytest.mark.parametrize("encoder", ["lf-ques-im-hist", "mn-ques-im-hist"])
+def test_img_spatial_trains_and_scores(encoder):
+    """Spatial variant end-to-end: loss is finite, grads reach img_proj,
+    scores have the protocol shape — for both fusion styles (LF concat,
+    MN/HRE query fusion)."""
+    S, C = 4, 8
+    cfg = small_config(encoder=encoder, decoder="disc").replace(
+        img_spatial=True, img_spatial_slots=S, img_spatial_channels=C,
+        img_feat_size=S * C)
+    split, vocab = make_synthetic_split(cfg, num_dialogs=4, seed=5)
+    cfg = cfg.replace(vocab_size=vocab.size)
+    params = model_init(jax.random.PRNGKey(0), cfg)
+    assert params["encoder"]["img_proj"]["w"].shape == (C, cfg.rnn_hidden_size)
+    batch = BatchAssembler(split, vocab, cfg).assemble(np.arange(4)).as_dict()
+    loss, grads = jax.value_and_grad(model_loss)(params, batch, cfg,
+                                                 train=True,
+                                                 rng=jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    g_img = np.asarray(grads["encoder"]["img_proj"]["w"])
+    assert np.abs(g_img).max() > 0, "no gradient reached the spatial proj"
+    scores = model_scores(params, batch, cfg)
+    assert scores.shape == (4, cfg.num_rounds, cfg.num_options)
+
+
+def test_img_spatial_loader_norms_per_location():
+    """img_norm + img_spatial: each location's channel vector is unit-L2."""
+    from visdial_tpu.data.loader import BatchAssembler as BA
+
+    S, C = 3, 5
+    cfg = small_config(encoder="lf-ques-im").replace(
+        img_spatial=True, img_spatial_slots=S, img_spatial_channels=C,
+        img_feat_size=S * C, img_norm=True, compute_dtype="float32")
+    split, vocab = make_synthetic_split(cfg, num_dialogs=3, seed=2)
+    cfg = cfg.replace(vocab_size=vocab.size)
+    asm = BA(split, vocab, cfg)
+    loc = asm.img_feat.reshape(-1, S, C)
+    np.testing.assert_allclose(np.linalg.norm(loc, axis=2), 1.0, atol=1e-5)
+
+
 def test_beam_search_matches_brute_force_oracle():
     """Exact beam-search verification (SURVEY.md §2 #3 generate.lua
     -beamSize [U]): on a tiny vocab/length, a wide-enough beam must return
@@ -303,6 +380,7 @@ def test_disc_table_scoring_matches_direct(tiny_data):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_remat_grads_match(tiny_data):
     """cfg.remat (jax.checkpoint around the encoder) must not change loss
     or gradients — only the memory/compute trade."""

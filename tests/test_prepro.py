@@ -142,6 +142,7 @@ def test_prepro_feeds_loader(prepro_dir):
     assert ((batch.ques[..., -1] != 0) == (lens > 0)).all()
 
 
+@pytest.mark.slow
 def test_vgg16_shapes_and_conversion(tmp_path):
     import jax
 
@@ -167,6 +168,7 @@ def test_vgg16_shapes_and_conversion(tmp_path):
                                np.asarray(feats2["fc7"]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_prepro_img_cli_images_npz(tmp_path, prepro_dir):
     """Feature-extraction CLI end-to-end from a prebaked image array."""
     import jax

@@ -105,12 +105,14 @@ def test_batch_sharding_layout(setup):
 
 @pytest.mark.parametrize("encoder,decoder,mesh_shape,vocab_words", [
     # attention (MN) path, pure data parallelism
-    ("mn-ques-im-hist", "disc", (8, 1), 50),
+    pytest.param("mn-ques-im-hist", "disc", (8, 1), 50),
     # attention + vocab-sharded embed/out_proj, with a vocab size NOT
     # divisible by the model axis (XLA handles the ragged shard)
-    ("mn-ques-im-hist", "gen", (4, 2), 47),
+    pytest.param("mn-ques-im-hist", "gen", (4, 2), 47,
+                 marks=pytest.mark.slow),
     # HRE dialog-level RNN family on the mesh
-    ("hre-ques-im-hist", "gen", (4, 2), 50),
+    pytest.param("hre-ques-im-hist", "gen", (4, 2), 50,
+                 marks=pytest.mark.slow),
 ])
 def test_sharded_matches_single_device_matrix(encoder, decoder, mesh_shape,
                                               vocab_words):

@@ -111,6 +111,7 @@ def test_preprocess_modes():
         vgg16.preprocess(imgs, origin="vgg-face")
 
 
+@pytest.mark.slow
 def test_untagged_weight_npz_defaults_to_caffe(tmp_path):
     import jax
 

@@ -90,6 +90,14 @@ class Config:
     img_feat_size: int = 4096    # VGG-16 fc7 (reference data_img.h5 schema)
     img_embed_size: int = 300    # image projection (reference -imgEmbedSize)
     img_norm: bool = True        # L2-normalize image feature (reference -imgNorm)
+    img_spatial: bool = False    # beyond-reference: image feature is a
+                                 # flattened pool5 spatial map (slots x
+                                 # channels); -im encoders attend over the
+                                 # locations with the question state as the
+                                 # query instead of projecting one fc7
+                                 # vector (SURVEY.md §2 #12 conv5 note)
+    img_spatial_slots: int = 49      # 7x7 pool5 grid
+    img_spatial_channels: int = 512  # conv5 channels
     dropout: float = 0.5         # (reference -dropout; applied to LSTM outputs)
 
     # --- data shape contract (reference: data/prepro.py padding caps).
@@ -181,6 +189,13 @@ class Config:
             raise ValueError(f"unknown decoder {self.decoder!r}; choose from {DECODERS}")
         if self.optimizer not in ("adam", "sgd", "rmsprop"):
             raise ValueError(f"unknown optimizer {self.optimizer!r}")
+        if self.img_spatial and (self.img_feat_size
+                                 != self.img_spatial_slots
+                                 * self.img_spatial_channels):
+            raise ValueError(
+                f"img_spatial needs img_feat_size == slots*channels "
+                f"({self.img_spatial_slots}*{self.img_spatial_channels}"
+                f" != {self.img_feat_size})")
         return self
 
     # Serialization (checkpoints embed the config, like the reference

@@ -173,8 +173,19 @@ class BatchAssembler:
         self.need_facts = self.family in ("hre", "hrea", "mn") and self.need_hist
         if config.img_norm:
             feats = data.img_feat
-            norm = np.linalg.norm(feats, axis=1, keepdims=True)
-            self.img_feat = (feats / np.maximum(norm, 1e-8)).astype(np.float32)
+            if config.img_spatial:
+                # spatial map (N, S*C): L2-normalize each LOCATION's C-dim
+                # vector (the per-feature analog of fc7 imgNorm; a whole-map
+                # norm would only rescale attention logits uniformly)
+                S, C = config.img_spatial_slots, config.img_spatial_channels
+                loc = feats.reshape(len(feats), S, C)
+                norm = np.linalg.norm(loc, axis=2, keepdims=True)
+                feats = (loc / np.maximum(norm, 1e-8)).reshape(feats.shape)
+                self.img_feat = feats.astype(np.float32)
+            else:
+                norm = np.linalg.norm(feats, axis=1, keepdims=True)
+                self.img_feat = (feats / np.maximum(norm, 1e-8)).astype(
+                    np.float32)
         else:
             self.img_feat = data.img_feat.astype(np.float32)
         if config.compute_dtype == "bfloat16":

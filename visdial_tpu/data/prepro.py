@@ -201,18 +201,26 @@ def build_split(data: dict, vocab: Vocabulary, cfg_caps: dict,
     ).validate()
 
 
-def load_img_feats(path: str, split: str) -> np.ndarray | None:
+def load_img_feats(path: str, split: str,
+                   spatial: bool = False) -> np.ndarray | None:
+    """fc7 (N, 4096) by default; with spatial=True the pool5 map written by
+    prepro_img --save_pool5 ((N, 7, 7, 512)), flattened to (N, 25088) for
+    the img_spatial encoder pathway."""
     if not path:
         return None
+    keys = ([f"pool5_{split}", "pool5"] if spatial
+            else [f"images_{split}", "features"])
     if path.endswith((".h5", ".hdf5")):
         import h5py
 
         with h5py.File(path, "r") as f:
-            key = f"images_{split}" if f"images_{split}" in f else "features"
-            return np.asarray(f[key], np.float32)
-    with np.load(path) as z:
-        key = f"images_{split}" if f"images_{split}" in z.files else "features"
-        return np.asarray(z[key], np.float32)
+            key = next(k for k in keys if k in f)
+            feats = np.asarray(f[key], np.float32)
+    else:
+        with np.load(path) as z:
+            key = next(k for k in keys if k in z.files)
+            feats = np.asarray(z[key], np.float32)
+    return feats.reshape(len(feats), -1) if spatial else feats
 
 
 def main(argv=None) -> None:
@@ -232,6 +240,10 @@ def main(argv=None) -> None:
     p.add_argument("--max_cap_len", type=int, default=40)
     p.add_argument("--num_rounds", type=int, default=10)
     p.add_argument("--num_options", type=int, default=100)
+    p.add_argument("--img_spatial", action="store_true",
+                   help="store the pool5 spatial map (flattened 7x7x512) "
+                        "from the feature files instead of fc7 — pairs "
+                        "with Config.img_spatial")
     args = p.parse_args(argv)
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -257,7 +269,7 @@ def main(argv=None) -> None:
         splits.append(("test", load_visdial_json(args.test_json),
                        args.img_feats_test))
     for split, data, feats_path in splits:
-        feats = load_img_feats(feats_path, split)
+        feats = load_img_feats(feats_path, split, spatial=args.img_spatial)
         out = build_split(data, vocab, caps, feats,
                           num_rounds=args.num_rounds,
                           num_options=args.num_options)

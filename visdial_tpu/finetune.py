@@ -66,6 +66,8 @@ def main(argv=None) -> dict:
     p.add_argument("--eval_every", type=int, default=0,
                    help="NDCG on the annotated rounds every N steps "
                         "(0 = only before/after)")
+    p.add_argument("--log_every", type=int, default=10,
+                   help="steps between buffered loss readbacks/records")
     p.add_argument("--save_path", type=str, default="checkpoints/finetune")
     p.add_argument("--run_name", type=str, default="dense")
     p.add_argument("--seed", type=int, default=0)
@@ -104,27 +106,42 @@ def main(argv=None) -> dict:
 
     step, epoch, t0 = 0, 0, time.time()
     losses: list[float] = []
+    buf: list = []      # device scalars; read back only at flush points
+
+    def flush():
+        # Buffered readback (train.py's pattern): a per-step float() would
+        # sync the ~30 ms tunnel round trip every step and gate dispatch
+        # of the next one (advisor finding, round 2).
+        for dm in buf:
+            losses.append(float(np.asarray(dm["loss"])))
+            emit("finetune", step=dm["step"], loss=losses[-1],
+                 lr=float(np.asarray(dm["lr"])),
+                 grad_norm=float(np.asarray(dm["grad_norm"])))
+        buf.clear()
+
     while step < args.steps:
         for batch in loader.epoch(seed=args.seed + epoch):
             state, m = train_fn(state, shard_batch(batch, mesh))
             step += 1
-            losses.append(float(np.asarray(m["loss"])))
-            emit("finetune", step=step, loss=losses[-1],
-                 lr=float(np.asarray(m["lr"])),
-                 grad_norm=float(np.asarray(m["grad_norm"])))
+            buf.append({**m, "step": step})   # python step wins over m's device scalar
+            if step % args.log_every == 0 or step >= args.steps:
+                flush()
             if args.eval_every and step % args.eval_every == 0:
+                flush()
                 emit("ndcg", step=step, **ndcg_on_entries(
                     state.params, data, vocab, cfg, mesh, dense))
             if step >= args.steps:
                 break
         epoch += 1
+    flush()
 
     after = ndcg_on_entries(state.params, data, vocab, cfg, mesh, dense)
     emit("ndcg", step=step, **after)
     path = save_checkpoint(f"{args.save_path}/{args.run_name}", state, cfg)
     emit("checkpoint", step=step, path=path, seconds=time.time() - t0)
     return {"ndcg_before": before["ndcg"], "ndcg_after": after["ndcg"],
-            "first_loss": losses[0], "last_loss": losses[-1],
+            "first_loss": losses[0] if losses else None,
+            "last_loss": losses[-1] if losses else None,
             "steps": step, "checkpoint": path}
 
 

@@ -66,24 +66,42 @@ class InferenceEngine:
         self.opt_list_len = data.opt_list_len
         self._template = data           # shapes/feature-dim template
         impl = _impl(cfg)               # same fused-path choice as model.py
-        self._encode_jit = jax.jit(
-            lambda params, batch: encoder_apply(
-                params["encoder"], params["embed"], batch, cfg,
-                train=False, impl=impl))
+
+        # One fused jit per request, everything reduced ON DEVICE to a
+        # single small packed array: a request pays exactly one dispatch
+        # chain and one readback round trip.  (The previous design chained
+        # encode -> rank -> full-pool score readback -> host argsort — on a
+        # ~30 ms-RTT link the extra sync + the 200 KB score transfer
+        # roughly doubled interactive p50.)
         if cfg.decoder == "disc":
             table = model_option_table(self.params, jnp.asarray(data.opt_list),
                                        cfg)
             self._table = table
-            self._rank_jit = jax.jit(
-                lambda joint, table: jnp.dot(
-                    joint.astype(table.dtype), table.T,
-                    preferred_element_type=jnp.float32))
+
+            def serve_disc(params, batch, table, t, k):
+                joint = encoder_apply(params["encoder"], params["embed"],
+                                      batch, cfg, train=False, impl=impl)
+                j = jax.lax.dynamic_slice_in_dim(joint, t, 1, 0)   # (1, H)
+                scores = jnp.dot(j.astype(table.dtype), table.T,
+                                 preferred_element_type=jnp.float32)[0]
+                top_s, top_i = jax.lax.top_k(scores, k)
+                return jnp.stack([top_i.astype(jnp.float32), top_s])
+
+            self._serve_disc_jit = jax.jit(serve_disc, static_argnums=(4,))
         else:
-            self._gen_jit = jax.jit(
-                lambda params, batch, beam: model_generate(
+            La = cfg.max_ans_len
+
+            def serve_gen(params, batch, beam, t):
+                toks, logp = model_generate(
                     params, batch, cfg, start_token=vocab.start,
-                    end_token=vocab.end, beam_size=beam, greedy=True),
-                static_argnums=(2,))
+                    end_token=vocab.end, beam_size=beam, greedy=True)
+                row = jax.lax.dynamic_slice(
+                    toks, (0, t, 0), (1, 1, toks.shape[2]))[0, 0]
+                lp = jax.lax.dynamic_slice(logp, (0, t), (1, 1))[0, 0]
+                # tokens pack exactly into f32 (vocab << 2^24)
+                return jnp.concatenate([lp[None], row.astype(jnp.float32)])
+
+            self._serve_gen_jit = jax.jit(serve_gen, static_argnums=(2,))
 
     # -- raw text -> one-dialog split ------------------------------------
     def _encode_dialog(self, caption: str, history, question: str,
@@ -130,20 +148,21 @@ class InferenceEngine:
         """Top-k answers from the whole pool with scores (disc decoder)."""
         assert self.cfg.decoder == "disc"
         batch, t = self._batch(caption, history, question, img_feat)
-        joint = self._encode_jit(self.params, batch)       # (R, H)
-        scores = np.asarray(self._rank_jit(joint[t:t + 1], self._table))[0]
-        top = np.argsort(-scores)[:top_k]
-        return [{"answer": " ".join(self.vocab.decode(self.opt_list[i])),
-                 "score": float(scores[i])} for i in top]
+        packed = np.asarray(self._serve_disc_jit(
+            self.params, batch, self._table, t, int(top_k)))   # (2, k)
+        return [{"answer": " ".join(self.vocab.decode(self.opt_list[int(i)])),
+                 "score": float(s)} for i, s in zip(packed[0], packed[1])]
 
     def generate_answer(self, question: str, caption: str = "", history=None,
                         img_feat=None, beam_size: int = 0) -> dict:
         """Free-form decoded answer (gen decoder)."""
         assert self.cfg.decoder == "gen"
         batch, t = self._batch(caption, history, question, img_feat)
-        toks, logp = self._gen_jit(self.params, batch, int(beam_size))
-        return {"answer": " ".join(self.vocab.decode(np.asarray(toks)[0, t])),
-                "log_prob": float(np.asarray(logp)[0, t])}
+        packed = np.asarray(self._serve_gen_jit(
+            self.params, batch, int(beam_size), t))            # (1 + La,)
+        toks = packed[1:].astype(np.int32)
+        return {"answer": " ".join(self.vocab.decode(toks)),
+                "log_prob": float(packed[0])}
 
 
 def main(argv=None) -> None:

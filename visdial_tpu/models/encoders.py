@@ -70,7 +70,9 @@ def encoder_init(rng, cfg: Config) -> dict:
     fam = encoder_family(cfg.encoder)
     use_img = encoder_uses_image(cfg.encoder)
     use_hist = encoder_uses_history(cfg.encoder)
-    H, E, F = cfg.rnn_hidden_size, cfg.embed_size, cfg.img_feat_size
+    H, E = cfg.rnn_hidden_size, cfg.embed_size
+    # spatial pathway projects per-location conv5 channels, not the fc7 vec
+    F = cfg.img_spatial_channels if cfg.img_spatial else cfg.img_feat_size
     keys = iter(jax.random.split(rng, 10))
     p: dict = {"ques_lstm": lstm_init(next(keys), E, H, cfg.num_layers)}
 
@@ -100,6 +102,30 @@ def encoder_init(rng, cfg: Config) -> dict:
 # ---------------------------------------------------------------------------
 # apply
 # ---------------------------------------------------------------------------
+
+def _image_pathway(params, batch, q, cfg: Config, B: int, R: int,
+                   impl: str) -> jnp.ndarray:
+    """Image feature -> one (N, H) vector per round.
+
+    fc7 default: project once per dialog, repeat per round (reference:
+    encoders/*-im-*.lua image Linear).  img_spatial (beyond-reference,
+    SURVEY.md §2 #12 conv5 note): project each of the S pool5 locations to
+    H and attend over them with the question state as the query — one
+    extra masked_slot_attention call (all slots valid), so the fused
+    attention kernel serves both dialog memory and image space.
+    """
+    dt = _dt(cfg)
+    if not cfg.img_spatial:
+        img = linear(params["img_proj"], batch["img"].astype(dt))    # (B, H)
+        return jnp.repeat(img, R, axis=0)                            # (N, H)
+    S, C = cfg.img_spatial_slots, cfg.img_spatial_channels
+    loc = batch["img"].reshape(B, S, C).astype(dt)
+    loc_h = linear(params["img_proj"], loc)                          # (B,S,H)
+    q_r = q.reshape(B, R, -1)
+    valid = jnp.ones((B, R, S), loc_h.dtype)
+    att = masked_slot_attention(q_r, loc_h, valid, impl=impl)        # (B,R,H)
+    return att.reshape(B * R, -1)
+
 
 def encoder_apply(
     params: dict,
@@ -149,10 +175,7 @@ def encoder_apply(
                               train, next(rngs), impl)
             parts.append(h)
         if use_img:
-            img = linear(params["img_proj"],
-                         batch["img"].astype(_dt(cfg)))             # (B, H)
-            img = jnp.repeat(img, R, axis=0)                         # (N, H)
-            parts.append(img)
+            parts.append(_image_pathway(params, batch, q, cfg, B, R, impl))
         cat = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
         if train and rng is not None:
             cat = dropout(next(rngs), cat, cfg.dropout, train)
@@ -166,9 +189,7 @@ def encoder_apply(
 
     # Query: question (+ image fused in)
     if use_img:
-        img = linear(params["img_proj"],
-                     batch["img"].astype(_dt(cfg)))                  # (B, H)
-        img = jnp.repeat(img, R, axis=0)                              # (N, H)
+        img = _image_pathway(params, batch, q, cfg, B, R, impl)       # (N, H)
         query = jnp.tanh(linear(params["query_fusion"],
                                 jnp.concatenate([q, img], axis=-1)))
     else:
