@@ -371,7 +371,9 @@ def bench_jax(args) -> dict:
         # run so one bench invocation reproduces the whole BASELINE.md row
         # set: gen TRAIN throughput + gen 100-candidate LM eval.
         gcfg = cfg.replace(decoder="gen")
-        g = bench_train(gcfg, steps=max(args.steps // 2, 4))
+        # gen steps are ~10x faster than disc: measure more of them so the
+        # ride-along number isn't a 2-dispatch sample
+        g = bench_train(gcfg, steps=max(args.steps * 2, 32))
         gstate, gmesh = g.pop("_state"), g.pop("_mesh")
         g.pop("_batch")
         stats["gen_train_rounds_per_sec_per_chip"] = \
