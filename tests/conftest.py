@@ -61,6 +61,18 @@ def _restore_default_prng_impl():
         jax.config.update("jax_default_prng_impl", before)
 
 
+# Quick-set representative encoders (one per family + the flagship); the
+# full 9x2 matrix runs in the full (pre-commit) suite.  Single definition —
+# test_all_combos.py and test_models.py both parametrize from here.
+QUICK_ENCODERS = frozenset({"lf-ques-im-hist", "mn-ques-im-hist",
+                            "hre-ques-hist", "hrea-ques-im-hist"})
+
+
+def encoder_params(encoders):
+    return [pytest.param(e, marks=() if e in QUICK_ENCODERS
+                         else (pytest.mark.slow,)) for e in encoders]
+
+
 def small_config(**kw) -> Config:
     base = dict(
         vocab_size=0, embed_size=16, rnn_hidden_size=24, num_layers=2,

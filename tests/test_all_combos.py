@@ -15,18 +15,10 @@ from visdial_tpu.parallel.train_step import (
     make_eval_fn,
     make_train_fn,
 )
-from tests.conftest import small_config
-
-# Quick-set representatives: one encoder per family plus the flagship —
-# the full 9x2 matrix runs in the (pre-commit) full suite.
-_QUICK_ENCODERS = {"lf-ques-im-hist", "mn-ques-im-hist",
-                   "hre-ques-hist", "hrea-ques-im-hist"}
-_ENC_PARAMS = [
-    pytest.param(e, marks=() if e in _QUICK_ENCODERS
-                 else (pytest.mark.slow,)) for e in ENCODERS]
+from tests.conftest import encoder_params, small_config
 
 
-@pytest.mark.parametrize("encoder", _ENC_PARAMS)
+@pytest.mark.parametrize("encoder", encoder_params(ENCODERS))
 @pytest.mark.parametrize("decoder", DECODERS)
 def test_combo_trains_and_scores(encoder, decoder):
     cfg = small_config(encoder=encoder, decoder=decoder, batch_size=4,

@@ -12,7 +12,7 @@ from visdial_tpu.data.loader import BatchAssembler
 from visdial_tpu.data.synthetic import make_synthetic_split
 from visdial_tpu.models.model import model_init, model_loss, model_scores
 from visdial_tpu.ops.attention import masked_slot_attention
-from tests.conftest import small_config
+from tests.conftest import encoder_params, small_config
 
 
 def _batch_for(cfg, n=4, seed=0):
@@ -24,16 +24,7 @@ def _batch_for(cfg, n=4, seed=0):
     return {k: jnp.asarray(v) for k, v in b.as_dict().items()}, cfg
 
 
-# Quick-set representatives (full 9x2 matrix in the full suite; same split
-# as tests/test_all_combos.py)
-_QUICK_ENCODERS = {"lf-ques-im-hist", "mn-ques-im-hist",
-                   "hre-ques-hist", "hrea-ques-im-hist"}
-_ENC_PARAMS = [
-    pytest.param(e, marks=() if e in _QUICK_ENCODERS
-                 else (pytest.mark.slow,)) for e in ENCODERS]
-
-
-@pytest.mark.parametrize("encoder", _ENC_PARAMS)
+@pytest.mark.parametrize("encoder", encoder_params(ENCODERS))
 @pytest.mark.parametrize("decoder", ["disc", "gen"])
 def test_all_variants_build_and_score(encoder, decoder):
     cfg = small_config(encoder=encoder, decoder=decoder)

@@ -210,16 +210,25 @@ def load_img_feats(path: str, split: str,
         return None
     keys = ([f"pool5_{split}", "pool5"] if spatial
             else [f"images_{split}", "features"])
+    def pick(available):
+        key = next((k for k in keys if k in available), None)
+        if key is None:
+            raise ValueError(
+                f"{path}: no {'/'.join(keys)} array for split {split!r} "
+                f"(have: {sorted(available)}); --img_spatial needs a pool5 "
+                "map from prepro_img --save_pool5" if spatial else
+                f"{path}: no {'/'.join(keys)} array for split {split!r} "
+                f"(have: {sorted(available)})")
+        return key
+
     if path.endswith((".h5", ".hdf5")):
         import h5py
 
         with h5py.File(path, "r") as f:
-            key = next(k for k in keys if k in f)
-            feats = np.asarray(f[key], np.float32)
+            feats = np.asarray(f[pick(list(f))], np.float32)
     else:
         with np.load(path) as z:
-            key = next(k for k in keys if k in z.files)
-            feats = np.asarray(z[key], np.float32)
+            feats = np.asarray(z[pick(z.files)], np.float32)
     return feats.reshape(len(feats), -1) if spatial else feats
 
 

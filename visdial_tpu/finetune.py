@@ -27,6 +27,7 @@ import time
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from .data.dataset import load_split
 from .data.loader import DenseLoader
@@ -111,12 +112,18 @@ def main(argv=None) -> dict:
     def flush():
         # Buffered readback (train.py's pattern): a per-step float() would
         # sync the ~30 ms tunnel round trip every step and gate dispatch
-        # of the next one (advisor finding, round 2).
-        for dm in buf:
-            losses.append(float(np.asarray(dm["loss"])))
-            emit("finetune", step=dm["step"], loss=losses[-1],
-                 lr=float(np.asarray(dm["lr"])),
-                 grad_norm=float(np.asarray(dm["grad_norm"])))
+        # of the next one (advisor finding, round 2).  One stacked readback
+        # per flush — not one per scalar, which would re-pay the same RTT
+        # count the buffering exists to avoid.
+        if not buf:
+            return
+        vals = np.asarray(jnp.stack(
+            [jnp.stack([dm["loss"], dm["lr"], dm["grad_norm"]])
+             for dm in buf]).astype(jnp.float32))               # (n, 3)
+        for dm, (loss, lr, gnorm) in zip(buf, vals):
+            losses.append(float(loss))
+            emit("finetune", step=dm["step"], loss=float(loss),
+                 lr=float(lr), grad_norm=float(gnorm))
         buf.clear()
 
     while step < args.steps:

@@ -148,8 +148,9 @@ class InferenceEngine:
         """Top-k answers from the whole pool with scores (disc decoder)."""
         assert self.cfg.decoder == "disc"
         batch, t = self._batch(caption, history, question, img_feat)
+        k = min(int(top_k), len(self.opt_list))  # lax.top_k needs k <= pool
         packed = np.asarray(self._serve_disc_jit(
-            self.params, batch, self._table, t, int(top_k)))   # (2, k)
+            self.params, batch, self._table, t, k))            # (2, k)
         return [{"answer": " ".join(self.vocab.decode(self.opt_list[int(i)])),
                  "score": float(s)} for i, s in zip(packed[0], packed[1])]
 

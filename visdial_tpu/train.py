@@ -226,11 +226,14 @@ def main(argv=None) -> dict:
                 # on-device lax.scan of the step (metrics come back (G,)).
                 state, m = multi_fn(state, shard_batch_stack(pending, mesh))
                 step += len(pending)
+                loss_buf.append(m["loss"])
             else:  # group==1, epoch tail, or max_steps trim
                 for bd in pending:
                     state, m = train_fn(state, shard_batch(bd, mesh))
                     step += 1
-            loss_buf.append(m["loss"])
+                    # per-step buffering: EVERY tail step's loss must reach
+                    # the NaN gate / running EWMA, not just the last one
+                    loss_buf.append(m["loss"])
             if timing:
                 # block_until_ready does not block under the tunneled TPU
                 # runtime (CLAUDE.md); a host readback is the reliable sync.
