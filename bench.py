@@ -100,7 +100,8 @@ TRAIN_DISPATCH_GROUP = 8   # steps per dispatch (train.py --steps_per_dispatch)
 
 
 def bench_train(cfg, steps: int = 16, warmup: int = 3,
-                group: int = TRAIN_DISPATCH_GROUP) -> dict:
+                group: int = TRAIN_DISPATCH_GROUP,
+                full_lengths: bool = True) -> dict:
     """Train throughput (+ achieved TFLOP/s + MFU) for one model config.
 
     Measured through the multi-step dispatch path (G steps scanned on
@@ -131,7 +132,8 @@ def bench_train(cfg, steps: int = 16, warmup: int = 3,
     state = shard_train_state(init_train_state(cfg), cfg, mesh)
     train_fn = make_multistep_train_fn(cfg, mesh)
     batches = shard_batch_stack(
-        [random_batch(cfg, seed=s) for s in range(group)], mesh)
+        [random_batch(cfg, seed=s, full_lengths=full_lengths)
+         for s in range(group)], mesh)
 
     # NOTE: block_until_ready does not reliably block under the tunneled
     # TPU runtime here; a host readback of a scalar is the sync point.
@@ -160,7 +162,9 @@ def bench_train(cfg, steps: int = 16, warmup: int = 3,
 
     from visdial_tpu.parallel.mesh import shard_batch
 
-    batch = shard_batch(random_batch(cfg, seed=0), mesh)  # for eval benches
+    batch = shard_batch(random_batch(cfg, seed=0,
+                                     full_lengths=full_lengths),
+                        mesh)                          # for eval benches
     out = {
         "train_rounds_per_sec": train_rps,
         "train_rounds_per_sec_per_chip": train_rps / n_chips,
@@ -350,11 +354,13 @@ def bench_jax(args) -> dict:
                           args.compute_dtype)
     jax.config.update("jax_default_prng_impl", cfg.prng_impl)
     stats = {"backend": jax.default_backend(), "n_chips": len(jax.devices()),
+             "lengths": "realistic-uniform" if args.realistic_lengths else "max",
              "model": f"{cfg.encoder}-{cfg.decoder}",
              "compute_dtype": cfg.compute_dtype,
              "batch_size": cfg.batch_size}
 
-    t = bench_train(cfg, steps=args.steps)
+    t = bench_train(cfg, steps=args.steps,
+                    full_lengths=not args.realistic_lengths)
     state, mesh, batch = t.pop("_state"), t.pop("_mesh"), t.pop("_batch")
     stats.update(t)
     stats.update(bench_eval(cfg, state, mesh, batch,
@@ -373,7 +379,8 @@ def bench_jax(args) -> dict:
         gcfg = cfg.replace(decoder="gen")
         # gen steps are ~10x faster than disc: measure more of them so the
         # ride-along number isn't a 2-dispatch sample
-        g = bench_train(gcfg, steps=max(args.steps * 2, 32))
+        g = bench_train(gcfg, steps=max(args.steps * 2, 32),
+                        full_lengths=not args.realistic_lengths)
         gstate, gmesh = g.pop("_state"), g.pop("_mesh")
         g.pop("_batch")
         stats["gen_train_rounds_per_sec_per_chip"] = \
@@ -501,6 +508,12 @@ def main(argv=None) -> None:
                    choices=("bfloat16", "float32"))
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--steps", type=int, default=16)
+    p.add_argument("--realistic_lengths", action="store_true",
+                   help="train/direct-eval batches at varying (uniform "
+                        "[1, L]) sequence lengths instead of the max-"
+                        "length compute worst case: what real VisDial "
+                        "data looks like; the length-sorted kernels skip "
+                        "pad-step compute exactly")
     p.add_argument("--no_gen", action="store_true",
                    help="skip the ride-along gen-decoder measurements")
     args = p.parse_args(argv)

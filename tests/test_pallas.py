@@ -75,6 +75,38 @@ def test_lstm_pallas_grads_match(lstm_setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_lstm_pallas_tile_bounds_skip_exactly(lstm_setup):
+    """When a whole tile's rows are shorter than T, the kernel skips the
+    out-of-span grid steps (per-tile bounds).  Values AND grads — including
+    nonzero cotangents at pad positions, which must still flow through the
+    carried state — must match the lax.scan twin exactly."""
+    params, x, _ = lstm_setup
+    import visdial_tpu.ops.lstm_pallas as lp
+
+    # every row short: right-aligned span (T-3, T); also a left-aligned
+    # span (0, 2) case and an all-pad row
+    for mask_np in (
+        _right_aligned_mask([3, 1, 2, 3, 0, 2], 7),
+        jnp.asarray(np.array([[1, 1, 0, 0, 0, 0, 0]] * 6, np.float32)),
+    ):
+        def loss(p, impl):
+            o, (h, c) = masked_lstm(p, x, mask_np, impl=impl)
+            return (jnp.sum(o ** 2) + jnp.sum(h ** 2) + jnp.sum(c ** 2))
+
+        v_x, g_x = jax.value_and_grad(lambda p: loss(p, "xla"))(params)
+        old = lp.FORCE_BWD_KERNEL
+        lp.FORCE_BWD_KERNEL = True
+        try:
+            v_p, g_p = jax.value_and_grad(lambda p: loss(p, "pallas"))(params)
+        finally:
+            lp.FORCE_BWD_KERNEL = old
+        np.testing.assert_allclose(np.asarray(v_x), np.asarray(v_p),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4)
+
+
 def test_attention_pallas_matches_xla():
     q = jax.random.normal(jax.random.PRNGKey(2), (6, 4, 16))
     s = jax.random.normal(jax.random.PRNGKey(3), (6, 4, 16))
@@ -234,6 +266,31 @@ def test_gen_loss_pallas_twin(tiny_data):
     np.testing.assert_allclose(np.asarray(v_x), np.asarray(v_p), atol=2e-5)
     for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_length_sorted_candidate_paths_match(tiny_data):
+    """The length-sorted candidate fast path (sort -> LSTM with per-tile
+    bounds -> inverse scatter) must match the unsorted XLA twin exactly,
+    for both disc option embeddings and gen candidate scores."""
+    import visdial_tpu.models.decoders as dec
+    from visdial_tpu.data.loader import EvalLoader
+    from visdial_tpu.models.model import model_init, model_scores
+
+    split, vocab, cfg0 = tiny_data
+    old = dec.LENGTH_SORT_MIN_ROWS
+    dec.LENGTH_SORT_MIN_ROWS = 1       # force sorting at tiny shapes
+    try:
+        for decoder in ("disc", "gen"):
+            cfg = cfg0.replace(encoder="lf-ques-im", decoder=decoder)
+            params = model_init(jax.random.PRNGKey(0), cfg)
+            batch = next(iter(EvalLoader(split, vocab, cfg,
+                                         batch_size=4))).as_dict()
+            s_x = model_scores(params, batch, cfg, impl="xla")
+            s_p = model_scores(params, batch, cfg, impl="pallas")
+            np.testing.assert_allclose(np.asarray(s_x), np.asarray(s_p),
+                                       atol=2e-4, err_msg=decoder)
+    finally:
+        dec.LENGTH_SORT_MIN_ROWS = old
 
 
 def test_gen_candidate_scores_pallas_twin(tiny_data):

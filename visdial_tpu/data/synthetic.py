@@ -165,6 +165,23 @@ def random_batch(cfg: Config, seed: int = 0, batch_size: int | None = None,
             keep = rng.integers(1, batch[k].shape[-1] + 1, size=batch[k].shape[:-1])
             mask = np.arange(batch[k].shape[-1]) < keep[..., None]
             batch[k] = np.where(mask, batch[k], 0)
+
+        # Candidate/answer rows at varying lengths too (uniform [1, La] —
+        # the same convention as make_random_split's "realistic" splits),
+        # with the loader-exact <START>/<END> construction for short rows.
+        def shorten(tok):
+            lens = rng.integers(1, La + 1, size=tok.shape[:-1])
+            t = np.where(np.arange(La) < lens[..., None], tok, 0)
+            tin = np.concatenate(
+                [np.full(tok.shape[:-1] + (1,), start, np.int32), t], -1)
+            base = np.concatenate(
+                [t, np.zeros(tok.shape[:-1] + (1,), np.int32)], -1)
+            tout = np.where(np.arange(La + 1) == lens[..., None], end, base)
+            return t, tin.astype(np.int32), tout.astype(np.int32), lens
+
+        _, batch["ans_in"], batch["ans_out"], _ = shorten(ans)
+        batch["opt"], batch["opt_in"], batch["opt_out"], olens = shorten(opt)
+        batch["opt_len"] = olens.astype(np.int32)
     return batch
 
 

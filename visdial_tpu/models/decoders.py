@@ -115,6 +115,37 @@ def gen_loss(params, embed_params, joint, batch, cfg: Config,
 
 SCORE_CHUNK_ROWS = 8192  # candidate rows scored per lax.map step
 
+# Row count above which candidate rows are length-sorted before the LSTM:
+# the fused kernel skips whole grid steps outside each batch-tile's real
+# token span (ops/lstm_pallas.py per-tile bounds), so sorting makes tiles
+# length-homogeneous and most of the pad compute disappears — real VisDial
+# answers average ~3 of the 9 padded steps.  Deterministic math is exact
+# (stable argsort + gather/scatter); at train time the inter-layer dropout
+# mask assignment is positional, so sorting changes WHICH mask element a
+# row draws (noise-shape only, like Config.lf_hist_incremental).
+LENGTH_SORT_MIN_ROWS = 2048
+
+
+def _length_sorted(tokens):
+    """(order, inverse) permutations sorting rows by descending real
+    length; stable, so equal-length rows keep their relative order.
+
+    Counting sort, not argsort: lengths take at most T+1 distinct values,
+    so rank = (start of my length's span) + (equal-length rows before me)
+    — a one-hot cumsum + scatter, ~3x cheaper than the 32k-row bitonic
+    argsort on this chip."""
+    N, T = tokens.shape
+    lens = jnp.sum(tokens != 0, axis=-1)
+    key = jax.nn.one_hot(T - lens, T + 1, dtype=jnp.int32)       # (N, T+1)
+    before_me = jnp.cumsum(key, axis=0) - key                    # same-key rows < i
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32),
+         jnp.cumsum(jnp.sum(key, axis=0))[:-1].astype(jnp.int32)])
+    rank = jnp.sum((starts[None, :] + before_me) * key, axis=-1)  # (N,)
+    order = jnp.zeros(N, jnp.int32).at[rank].set(
+        jnp.arange(N, dtype=jnp.int32))
+    return order, rank
+
 
 def _maybe_length_norm(scores, targets, cfg: Config):
     """Optional per-token normalization of summed candidate log-probs
@@ -141,6 +172,14 @@ def gen_score_rows(params, embed_params, joint_rows, tokens_in, tgt,
     keeps the transient bounded while each chunk matmul stays MXU-sized.
     """
     rows, T = tokens_in.shape
+    inv = None
+    if impl == "pallas" and rows >= LENGTH_SORT_MIN_ROWS:
+        # length-sort so the kernel's per-tile bounds skip pad steps; the
+        # (rows,) scores are inverse-scattered at the end
+        order, inv = _length_sorted(tokens_in)
+        tokens_in = jnp.take(tokens_in, order, axis=0)
+        tgt = jnp.take(tgt, order, axis=0)
+        joint_rows = jnp.take(joint_rows, order, axis=0)
     vecs = embed(embed_params, tokens_in).astype(jnp.dtype(cfg.compute_dtype))
     mask = (tokens_in != 0).astype(vecs.dtype)
     h0, c0 = _joint_to_state(joint_rows.astype(vecs.dtype), cfg.num_layers)
@@ -155,8 +194,9 @@ def gen_score_rows(params, embed_params, joint_rows, tokens_in, tgt,
             outs.reshape(rows * T, -1),
             params["out_proj"]["w"], params["out_proj"]["b"],
             tgt.reshape(rows * T)).reshape(rows, T)
-        s = jnp.sum(tok_lp * (tgt != 0), axis=-1)
-        return _maybe_length_norm(s, tgt, cfg)
+        s = _maybe_length_norm(jnp.sum(tok_lp * (tgt != 0), axis=-1),
+                               tgt, cfg)
+        return jnp.take(s, inv, axis=0) if inv is not None else s
 
     C = min(SCORE_CHUNK_ROWS, rows)
     pad = -rows % C
@@ -178,7 +218,8 @@ def gen_score_rows(params, embed_params, joint_rows, tokens_in, tgt,
     scores = jax.lax.map(
         score_chunk,
         (outs.reshape(n_chunks, C, T, -1), tgt.reshape(n_chunks, C, T)))
-    return scores.reshape(-1)[:rows]
+    scores = scores.reshape(-1)[:rows]
+    return jnp.take(scores, inv, axis=0) if inv is not None else scores
 
 
 def gen_candidate_scores(params, embed_params, joint, opt_in, opt_out,
@@ -313,16 +354,27 @@ def gen_beam_decode(params, embed_params, joint, cfg: Config, *,
 
 def disc_option_embeddings(params, embed_params, opt_tokens, cfg: Config,
                            *, train=False, rng=None, impl="xla"):
-    """(N, K, T) candidate tokens -> (N, K, H) final LSTM states."""
+    """(N, K, T) candidate tokens -> (N, K, H) final LSTM states.
+
+    Large row counts are length-sorted first (see LENGTH_SORT_MIN_ROWS) —
+    the dominant train/eval cost at real answer lengths.
+    """
     N, K, T = opt_tokens.shape
     flat = opt_tokens.reshape(N * K, T)
+    inv = None
+    if impl == "pallas" and N * K >= LENGTH_SORT_MIN_ROWS:
+        order, inv = _length_sorted(flat)
+        flat = jnp.take(flat, order, axis=0)
     vecs = embed(embed_params, flat).astype(jnp.dtype(cfg.compute_dtype))
     mask = (flat != 0).astype(vecs.dtype)
     _, (h_fin, _) = masked_lstm(
         params["opt_lstm"], vecs, mask,
         impl=impl, dropout_rng=rng, dropout_rate=cfg.dropout if train else 0.0,
     )
-    return h_fin[-1].reshape(N, K, -1)
+    h = h_fin[-1]
+    if inv is not None:
+        h = jnp.take(h, inv, axis=0)
+    return h.reshape(N, K, -1)
 
 
 def disc_option_table(params, embed_params, opt_list, cfg: Config,

@@ -72,7 +72,7 @@ def _pick_tile(T: int, E_pad: int, H: int, itemsize: int,
     return tb
 
 
-def _lstm_layer_kernel(x_ref, mask_ref, wx_hbm, wh_hbm, b_hbm,
+def _lstm_layer_kernel(bounds_ref, x_ref, mask_ref, wx_hbm, wh_hbm, b_hbm,
                        h0_ref, c0_ref, *refs, T: int, save_cell: bool):
     """One LSTM step for one batch tile: grid = (batch tiles, time).
 
@@ -82,11 +82,16 @@ def _lstm_layer_kernel(x_ref, mask_ref, wx_hbm, wh_hbm, b_hbm,
     (h, c) carry lives in VMEM scratch that persists across grid steps.
 
     Blocks: x_t (1,TB,Ep) of time-major x; hs_t (1,TB,H); mask (TB,T);
-    h0/c0/ht/ct (TB,H) f32.  Weights arrive in ANY memory space and are
-    DMA'd once into VMEM scratch (pipelined inputs would be double-buffered,
-    wasting 2x the weight footprint).  The mask column for step t is
-    extracted with a one-hot matmul rather than a dynamic lane slice
-    (lane-alignment constraint).
+    bounds (n_tiles, 2) int32, scalar-prefetched — each tile's [start,
+    stop) span of steps
+    where ANY row has a real token (outside it every row is a mask-0
+    carry-through, so the gate matmuls are skipped and the carried state is
+    emitted: identical results, no compute — the win behind length-sorted
+    batching at real VisDial answer lengths); h0/c0/ht/ct (TB,H) f32.
+    Weights arrive in ANY memory space and are DMA'd once into VMEM scratch
+    (pipelined inputs would be double-buffered, wasting 2x the weight
+    footprint).  The mask column for step t is extracted with a one-hot
+    matmul rather than a dynamic lane slice (lane-alignment constraint).
 
     With save_cell the per-step (post-mask) cell state streams out too —
     the training path saves it so the backward kernel never has to rebuild
@@ -117,36 +122,58 @@ def _lstm_layer_kernel(x_ref, mask_ref, wx_hbm, wh_hbm, b_hbm,
         h_scr[:] = h0_ref[:]
         c_scr[:] = c0_ref[:]
 
-    h, c = h_scr[:], c_scr[:]                               # f32 (TB, H)
-    x_t = x_ref[0]                                          # (TB, E_pad)
-    gates = (
-        jnp.dot(x_t, wx_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
-                  preferred_element_type=jnp.float32)
-        + b_ref[:].astype(jnp.float32)
-    )
-    i = jax.nn.sigmoid(gates[:, :H])
-    f = jax.nn.sigmoid(gates[:, H:2 * H])
-    g = jnp.tanh(gates[:, 2 * H:3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H:])
-    c_new = f * c + i * g
-    h_new = o * jnp.tanh(c_new)
-    t_ids = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
-    onehot = (t_ids == t).astype(jnp.float32)               # (T, 1)
-    m = jnp.dot(mask_ref[:].astype(jnp.float32), onehot,
-                preferred_element_type=jnp.float32)         # (TB, 1)
-    h = m * h_new + (1.0 - m) * h
-    c = m * c_new + (1.0 - m) * c
-    h_scr[:] = h
-    c_scr[:] = c
-    hs_ref[0] = h.astype(hs_ref.dtype)
+    i_tile = pl.program_id(0)
+
+    @pl.when((t >= bounds_ref[i_tile, 0]) & (t < bounds_ref[i_tile, 1]))
+    def _active_step():
+        h, c = h_scr[:], c_scr[:]                           # f32 (TB, H)
+        x_t = x_ref[0]                                      # (TB, E_pad)
+        gates = (
+            jnp.dot(x_t, wx_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
+                      preferred_element_type=jnp.float32)
+            + b_ref[:].astype(jnp.float32)
+        )
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H:2 * H])
+        g = jnp.tanh(gates[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H:])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        t_ids = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+        onehot = (t_ids == t).astype(jnp.float32)           # (T, 1)
+        m = jnp.dot(mask_ref[:].astype(jnp.float32), onehot,
+                    preferred_element_type=jnp.float32)     # (TB, 1)
+        h_scr[:] = m * h_new + (1.0 - m) * h
+        c_scr[:] = m * c_new + (1.0 - m) * c
+
+    # skipped steps emit the carried state — exactly the all-pad semantics
+    hs_ref[0] = h_scr[:].astype(hs_ref.dtype)
     if save_cell:
-        cs_ref[0] = c.astype(cs_ref.dtype)
+        cs_ref[0] = c_scr[:].astype(cs_ref.dtype)
 
     @pl.when(t == T - 1)
     def _final():
-        ht_ref[:] = h
-        ct_ref[:] = c
+        ht_ref[:] = h_scr[:]
+        ct_ref[:] = c_scr[:]
+
+
+def _tile_bounds(mask, TB: int, T: int):
+    """Per-tile [start, stop) span of time steps where any row has a real
+    token: (n_tiles, 2) int32.  All-pad rows contribute an empty span (the
+    kernel then emits their initial state — the carry-through semantics).
+    Cheap mask reductions; exactness does not depend on row order, but
+    length-sorted rows make tiles length-homogeneous and the spans tight
+    (gen/disc candidate scoring at real answer lengths)."""
+    n_tiles = mask.shape[0] // TB
+    m = (mask.reshape(n_tiles, TB, T) > 0)
+    any_row = m.any(axis=2)
+    first = jnp.argmax(m, axis=2)                            # 0 if all-pad
+    last = T - jnp.argmax(m[:, :, ::-1], axis=2)             # T if all-pad
+    first = jnp.where(any_row, first, T)
+    last = jnp.where(any_row, last, 0)
+    return jnp.stack([jnp.min(first, axis=1), jnp.max(last, axis=1)],
+                     axis=1).astype(jnp.int32)
 
 
 def lstm_layer_pallas(w, b, x, mask, h0, c0, *, interpret: bool | None = None,
@@ -183,8 +210,10 @@ def lstm_layer_pallas(w, b, x, mask, h0, c0, *, interpret: bool | None = None,
 
     x_tm = jnp.swapaxes(x, 0, 1)                 # (T, N_pad, E_pad)
     grid = (N_pad // TB, T)
-    step_blk = lambda i, t: (t, i, 0)
-    row_blk = lambda i, t: (i, 0)
+    # index maps receive the scalar-prefetch ref as an extra trailing arg
+    step_blk = lambda i, t, *_: (t, i, 0)
+    row_blk = lambda i, t, *_: (i, 0)
+    bounds = _tile_bounds(mask, TB, T)
 
     step_out = [pl.BlockSpec((1, TB, H), step_blk, memory_space=pltpu.VMEM)]
     step_shape = [jax.ShapeDtypeStruct((T, N_pad, H), dtype)]
@@ -192,8 +221,8 @@ def lstm_layer_pallas(w, b, x, mask, h0, c0, *, interpret: bool | None = None,
         step_out *= 2
         step_shape *= 2
 
-    outs = pl.pallas_call(
-        functools.partial(_lstm_layer_kernel, T=T, save_cell=save_cell),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,          # the (n_tiles, 2) step bounds
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, TB, E_pad), step_blk, memory_space=pltpu.VMEM),
@@ -208,10 +237,6 @@ def lstm_layer_pallas(w, b, x, mask, h0, c0, *, interpret: bool | None = None,
             pl.BlockSpec((TB, H), row_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, H), row_blk, memory_space=pltpu.VMEM),
         ],
-        out_shape=step_shape + [
-            jax.ShapeDtypeStruct((N_pad, H), jnp.float32),
-            jax.ShapeDtypeStruct((N_pad, H), jnp.float32),
-        ],
         scratch_shapes=[
             pltpu.VMEM((E_pad, 4 * H), dtype),
             pltpu.VMEM((H, 4 * H), dtype),
@@ -219,6 +244,14 @@ def lstm_layer_pallas(w, b, x, mask, h0, c0, *, interpret: bool | None = None,
             pltpu.VMEM((TB, H), jnp.float32),
             pltpu.VMEM((TB, H), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_lstm_layer_kernel, T=T, save_cell=save_cell),
+        grid_spec=grid_spec,
+        out_shape=step_shape + [
+            jax.ShapeDtypeStruct((N_pad, H), jnp.float32),
+            jax.ShapeDtypeStruct((N_pad, H), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             # the time axis carries the recurrence through scratch — both
@@ -232,7 +265,7 @@ def lstm_layer_pallas(w, b, x, mask, h0, c0, *, interpret: bool | None = None,
             transcendentals=N_pad * T * 4 * H,
         ),
         interpret=interpret,
-    )(x_tm, mask.astype(dtype), wx, wh, b2, h0, c0)
+    )(bounds, x_tm, mask.astype(dtype), wx, wh, b2, h0, c0)
     if save_cell:
         hs, cs, ht, ct = outs
         return (jnp.swapaxes(hs, 0, 1)[:N], jnp.swapaxes(cs, 0, 1)[:N],
@@ -241,7 +274,7 @@ def lstm_layer_pallas(w, b, x, mask, h0, c0, *, interpret: bool | None = None,
     return jnp.swapaxes(hs, 0, 1)[:N], ht[:N], ct[:N]
 
 
-def _lstm_bwd_kernel(x_ref, hprev_ref, cprev_ref, mask_ref,
+def _lstm_bwd_kernel(bounds_ref, x_ref, hprev_ref, cprev_ref, mask_ref,
                      wx_hbm, wh_hbm, b_hbm, ghs_ref, ght_ref, gct_ref,
                      dgp_ref, dh0_ref, dc0_ref,
                      wx_ref, wh_ref, b_ref, dh_scr, dc_scr, dma_sems,
@@ -256,6 +289,11 @@ def _lstm_bwd_kernel(x_ref, hprev_ref, cprev_ref, mask_ref,
     axis happen outside in XLA where they are single large MXU matmuls.
     This keeps every (T, N, ·) f32 intermediate of the pure-XLA backward
     (gate activations, rebuilt cell states, scan temporaries) out of HBM.
+
+    Steps outside the tile's bounds (every row mask-0 there — see the
+    forward kernel) skip the three matmuls and reduce to the exact m=0
+    algebra: dh += g_hs[t] (the carried state's cotangent flows to
+    h_{t-1}), dc unchanged, dgp[t] = 0.
     """
     t_rev = pl.program_id(1)
     t = (T - 1) - t_rev
@@ -278,51 +316,60 @@ def _lstm_bwd_kernel(x_ref, hprev_ref, cprev_ref, mask_ref,
         dh_scr[:] = ght_ref[:]
         dc_scr[:] = gct_ref[:]
 
-    x_t = x_ref[0]                                          # (TB, Ep) cdt
-    h_prev = hprev_ref[0]                                   # (TB, H) cdt
-    c_prev = cprev_ref[0].astype(f32)                       # (TB, H)
-    gates = (
-        jnp.dot(x_t, wx_ref[:], preferred_element_type=f32)
-        + jnp.dot(h_prev, wh_ref[:], preferred_element_type=f32)
-        + b_ref[:].astype(f32)
-    )
-    i = jax.nn.sigmoid(gates[:, :H])
-    f = jax.nn.sigmoid(gates[:, H:2 * H])
-    g = jnp.tanh(gates[:, 2 * H:3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H:])
-    cn = f * c_prev + i * g
-    tcn = jnp.tanh(cn)
+    i_tile = pl.program_id(0)
+    active = (t >= bounds_ref[i_tile, 0]) & (t < bounds_ref[i_tile, 1])
 
-    t_ids = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
-    onehot = (t_ids == t).astype(f32)
-    m = jnp.dot(mask_ref[:].astype(f32), onehot,
-                preferred_element_type=f32)                 # (TB, 1)
+    @pl.when(active)
+    def _active_step():
+        x_t = x_ref[0]                                      # (TB, Ep) cdt
+        h_prev = hprev_ref[0]                               # (TB, H) cdt
+        c_prev = cprev_ref[0].astype(f32)                   # (TB, H)
+        gates = (
+            jnp.dot(x_t, wx_ref[:], preferred_element_type=f32)
+            + jnp.dot(h_prev, wh_ref[:], preferred_element_type=f32)
+            + b_ref[:].astype(f32)
+        )
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H:2 * H])
+        g = jnp.tanh(gates[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H:])
+        cn = f * c_prev + i * g
+        tcn = jnp.tanh(cn)
 
-    Dh = ghs_ref[0].astype(f32) + dh_scr[:]
-    Dc = dc_scr[:]
-    dhn = m * Dh
-    dcn = m * Dc + dhn * o * (1.0 - tcn * tcn)
-    dc_prev = (1.0 - m) * Dc + dcn * f
-    dgp = jnp.concatenate([
-        (dcn * g) * i * (1.0 - i),
-        (dcn * c_prev) * f * (1.0 - f),
-        (dcn * i) * (1.0 - g * g),
-        (dhn * tcn) * o * (1.0 - o),
-    ], axis=-1)                                             # (TB, 4H) f32
-    dgp_c = dgp.astype(dgp_ref.dtype)
-    # dh_{t-1} = passthrough + dgates @ Wh^T (contract the 4H axis)
-    dh_prev = ((1.0 - m) * Dh
-               + jax.lax.dot_general(
-                   dgp_c, wh_ref[:], (((1,), (1,)), ((), ())),
-                   preferred_element_type=f32))
-    dh_scr[:] = dh_prev
-    dc_scr[:] = dc_prev
-    dgp_ref[0] = dgp_c
+        t_ids = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+        onehot = (t_ids == t).astype(f32)
+        m = jnp.dot(mask_ref[:].astype(f32), onehot,
+                    preferred_element_type=f32)             # (TB, 1)
+
+        Dh = ghs_ref[0].astype(f32) + dh_scr[:]
+        Dc = dc_scr[:]
+        dhn = m * Dh
+        dcn = m * Dc + dhn * o * (1.0 - tcn * tcn)
+        dc_prev = (1.0 - m) * Dc + dcn * f
+        dgp = jnp.concatenate([
+            (dcn * g) * i * (1.0 - i),
+            (dcn * c_prev) * f * (1.0 - f),
+            (dcn * i) * (1.0 - g * g),
+            (dhn * tcn) * o * (1.0 - o),
+        ], axis=-1)                                         # (TB, 4H) f32
+        dgp_c = dgp.astype(dgp_ref.dtype)
+        # dh_{t-1} = passthrough + dgates @ Wh^T (contract the 4H axis)
+        dh_scr[:] = ((1.0 - m) * Dh
+                     + jax.lax.dot_general(
+                         dgp_c, wh_ref[:], (((1,), (1,)), ((), ())),
+                         preferred_element_type=f32))
+        dc_scr[:] = dc_prev
+        dgp_ref[0] = dgp_c
+
+    @pl.when(jnp.logical_not(active))
+    def _skipped_step():
+        dh_scr[:] = ghs_ref[0].astype(f32) + dh_scr[:]
+        dgp_ref[0] = jnp.zeros((1, TB, 4 * H), dgp_ref.dtype)[0]
 
     @pl.when(t_rev == T - 1)
     def _final():
-        dh0_ref[:] = dh_prev
-        dc0_ref[:] = dc_prev
+        dh0_ref[:] = dh_scr[:]
+        dc0_ref[:] = dc_scr[:]
 
 
 def lstm_layer_bwd_pallas(w, b, x, mask, h_prev_all, c_prev_all,
@@ -364,11 +411,13 @@ def lstm_layer_bwd_pallas(w, b, x, mask, h_prev_all, c_prev_all,
 
     tm = lambda a: jnp.swapaxes(a, 0, 1)
     grid = (N_pad // TB, T)
-    rev_blk = lambda i, t: ((T - 1) - t, i, 0)
-    row_blk = lambda i, t: (i, 0)
+    # index maps receive the scalar-prefetch ref as an extra trailing arg
+    rev_blk = lambda i, t, *_: ((T - 1) - t, i, 0)
+    row_blk = lambda i, t, *_: (i, 0)
+    bounds = _tile_bounds(mask, TB, T)
 
-    dgp, dh0, dc0 = pl.pallas_call(
-        functools.partial(_lstm_bwd_kernel, T=T),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,          # the (n_tiles, 2) step bounds
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, TB, E_pad), rev_blk, memory_space=pltpu.VMEM),
@@ -387,11 +436,6 @@ def lstm_layer_bwd_pallas(w, b, x, mask, h_prev_all, c_prev_all,
             pl.BlockSpec((TB, H), row_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, H), row_blk, memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, N_pad, 4 * H), dtype),
-            jax.ShapeDtypeStruct((N_pad, H), jnp.float32),
-            jax.ShapeDtypeStruct((N_pad, H), jnp.float32),
-        ],
         scratch_shapes=[
             pltpu.VMEM((E_pad, 4 * H), dtype),
             pltpu.VMEM((H, 4 * H), dtype),
@@ -399,6 +443,15 @@ def lstm_layer_bwd_pallas(w, b, x, mask, h_prev_all, c_prev_all,
             pltpu.VMEM((TB, H), jnp.float32),
             pltpu.VMEM((TB, H), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    dgp, dh0, dc0 = pl.pallas_call(
+        functools.partial(_lstm_bwd_kernel, T=T),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, N_pad, 4 * H), dtype),
+            jax.ShapeDtypeStruct((N_pad, H), jnp.float32),
+            jax.ShapeDtypeStruct((N_pad, H), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -409,7 +462,7 @@ def lstm_layer_bwd_pallas(w, b, x, mask, h_prev_all, c_prev_all,
             transcendentals=N_pad * T * 4 * H,
         ),
         interpret=interpret,
-    )(tm(x), tm(h_prev_all), tm(c_prev_all), mask.astype(dtype),
+    )(bounds, tm(x), tm(h_prev_all), tm(c_prev_all), mask.astype(dtype),
       wx, wh, b2, tm(g_hs), g_ht.astype(jnp.float32),
       g_ct.astype(jnp.float32))
     return jnp.swapaxes(dgp, 0, 1)[:N], dh0[:N], dc0[:N]
