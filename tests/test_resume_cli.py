@@ -44,6 +44,26 @@ def test_cli_mid_epoch_resume_is_deterministic(tmp_path):
         next(iter(p_unbroken["embed"].values())))[1, 0]) != 0.0
 
 
+def test_grouped_dispatch_resume_matches_per_step_run(tmp_path):
+    """--steps_per_dispatch composes with deterministic resume: a grouped
+    run interrupted mid-epoch and resumed must land on exactly the
+    parameters of an unbroken PER-STEP run (the batch order is a pure
+    function of (seed, epoch) either way; epoch tails and max_steps trims
+    fall back to per-step dispatch inside the grouped loop)."""
+    root = str(tmp_path)
+    train_main(ARGS + ["--max_steps", "7", "--save_every", "7",
+                       "--save_path", root, "--run_name", "perstep"])
+    # grouped: 2 steps/dispatch; 4 steps then resume to 7 (odd tail)
+    train_main(ARGS + ["--max_steps", "4", "--save_every", "4",
+                       "--steps_per_dispatch", "2",
+                       "--save_path", root, "--run_name", "grouped"])
+    train_main(ARGS + ["--max_steps", "7", "--save_every", "7", "--resume",
+                       "--steps_per_dispatch", "2",
+                       "--save_path", root, "--run_name", "grouped"])
+    tree_allclose(_params_at(root, "perstep", 7),
+                  _params_at(root, "grouped", 7), atol=1e-6)
+
+
 def test_resume_with_mismatched_config_fails_loudly(tmp_path):
     """A resume whose flags disagree with the checkpoint's structural config
     (architecture, sizes, lr, ...) must abort, not silently train
