@@ -27,6 +27,10 @@ def main() -> None:
     p.add_argument("--val_dialogs", type=int, default=2_000)
     p.add_argument("--unique_answers", type=int, default=100_000)
     p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--steps_per_dispatch", type=int, default=8,
+                   help="optimizer steps scanned on device per dispatch "
+                        "(the production train.py configuration); the host "
+                        "loader must assemble G fresh batches per dispatch")
     args = p.parse_args()
 
     import jax
@@ -35,9 +39,14 @@ def main() -> None:
     from visdial_tpu.data.loader import TrainLoader
     from visdial_tpu.data.synthetic import make_random_split
     from visdial_tpu.eval_harness import evaluate_split
-    from visdial_tpu.parallel.mesh import make_mesh, shard_batch
+    from visdial_tpu.parallel.mesh import (
+        make_mesh,
+        shard_batch,
+        shard_batch_stack,
+    )
     from visdial_tpu.parallel.train_step import (
         init_train_state,
+        make_multistep_train_fn,
         make_train_fn,
         shard_train_state,
     )
@@ -59,30 +68,47 @@ def main() -> None:
 
     mesh = make_mesh()
     state = shard_train_state(init_train_state(cfg), cfg, mesh)
-    train_fn = make_train_fn(cfg, mesh)
+    G = max(1, args.steps_per_dispatch)
+    multi_fn = make_multistep_train_fn(cfg, mesh) if G > 1 else None
+    train_fn = make_train_fn(cfg, mesh) if G == 1 else None
     loader = TrainLoader(train, vocab, cfg)
 
-    it = loader.epoch(seed=0)
-    t0 = time.time()
-    state, m = train_fn(state, shard_batch(next(it).as_dict(), mesh))
-    float(np.asarray(m["loss"]))
-    print(f"compile {time.time()-t0:.0f}s", flush=True)
+    def groups():
+        """Yield lists of G fresh host batches, crossing epochs as needed
+        (rehearsal only — train.py keeps groups within an epoch for its
+        resume semantics)."""
+        seed = 0
+        while True:
+            for b in loader.epoch(seed=seed):
+                yield b.as_dict()
+            seed += 1
+
+    batch_iter = groups()
+
+    def dispatch():
+        nonlocal state
+        if G == 1:
+            state, m = train_fn(
+                state, shard_batch(next(batch_iter), mesh))
+        else:
+            pending = [next(batch_iter) for _ in range(G)]
+            state, m = multi_fn(state, shard_batch_stack(pending, mesh))
+        return m
 
     t0 = time.time()
-    n = 0
-    while n < args.steps:
-        for batch in it:
-            state, m = train_fn(state, shard_batch(batch.as_dict(), mesh))
-            n += 1
-            if n >= args.steps:
-                break
-        else:
-            it = loader.epoch(seed=n)
-            continue
-    loss = float(np.asarray(m["loss"]))
+    m = dispatch()
+    float(np.asarray(m["loss"]).ravel()[-1])
+    print(f"compile {time.time()-t0:.0f}s", flush=True)
+
+    dispatches = max(args.steps // G, 1)
+    t0 = time.time()
+    for _ in range(dispatches):
+        m = dispatch()
+    loss = float(np.asarray(m["loss"]).ravel()[-1])
     dt = time.time() - t0
-    train_rps = args.steps * cfg.batch_size * cfg.num_rounds / dt
-    print(f"train: {args.steps} steps, fresh batches: "
+    steps = dispatches * G
+    train_rps = steps * cfg.batch_size * cfg.num_rounds / dt
+    print(f"train: {steps} steps ({G}/dispatch), fresh batches: "
           f"{train_rps:.0f} rounds/s sustained, loss {loss:.3f}", flush=True)
 
     t0 = time.time()
