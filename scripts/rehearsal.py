@@ -74,9 +74,10 @@ def main() -> None:
     loader = TrainLoader(train, vocab, cfg)
 
     def groups():
-        """Yield lists of G fresh host batches, crossing epochs as needed
-        (rehearsal only — train.py keeps groups within an epoch for its
-        resume semantics)."""
+        """Yield fresh host batches one at a time, crossing epochs as
+        needed; dispatch() collects G of them per device call (rehearsal
+        only — train.py keeps groups within an epoch for its resume
+        semantics)."""
         seed = 0
         while True:
             for b in loader.epoch(seed=seed):

@@ -218,8 +218,9 @@ def gen_score_rows(params, embed_params, joint_rows, tokens_in, tgt,
     scores = jax.lax.map(
         score_chunk,
         (outs.reshape(n_chunks, C, T, -1), tgt.reshape(n_chunks, C, T)))
-    scores = scores.reshape(-1)[:rows]
-    return jnp.take(scores, inv, axis=0) if inv is not None else scores
+    # (no inverse scatter here: length sorting only engages on the pallas
+    # path above, which returns before reaching this chunked XLA twin)
+    return scores.reshape(-1)[:rows]
 
 
 def gen_candidate_scores(params, embed_params, joint, opt_in, opt_out,
