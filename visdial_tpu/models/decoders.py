@@ -157,7 +157,7 @@ def _maybe_length_norm(scores, targets, cfg: Config):
 
 
 def gen_score_rows(params, embed_params, joint_rows, tokens_in, tgt,
-                   cfg: Config, *, impl="xla"):
+                   cfg: Config, *, impl="xla", sort: bool = True):
     """Score candidate ROWS: sum of token log-probs per row.
 
     joint_rows (rows, H) — the per-row conditioning (the dialog round's
@@ -166,6 +166,10 @@ def gen_score_rows(params, embed_params, joint_rows, tokens_in, tgt,
     zero, so scores are identical for any sufficient T — the bucketed eval
     fast path relies on this).  Returns (rows,) scores.
 
+    sort=False skips the length grouping — callers whose rows are already
+    length-homogeneous (the harness's bucketed eval path) pass it to avoid
+    a pure-overhead permutation.
+
     The vocab projection + log-softmax is chunked over rows with lax.map —
     materializing all (rows, T, V) logits would be ~10GB at flagship shapes
     (32k rows x 9 steps x 8848 vocab f32), past HBM; per-chunk scoring
@@ -173,7 +177,7 @@ def gen_score_rows(params, embed_params, joint_rows, tokens_in, tgt,
     """
     rows, T = tokens_in.shape
     inv = None
-    if impl == "pallas" and rows >= LENGTH_SORT_MIN_ROWS:
+    if sort and impl == "pallas" and rows >= LENGTH_SORT_MIN_ROWS:
         # length-sort so the kernel's per-tile bounds skip pad steps; the
         # (rows,) scores are inverse-scattered at the end
         order, inv = _length_sorted(tokens_in)
