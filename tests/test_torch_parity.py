@@ -123,6 +123,39 @@ def test_decode_step_matches_torch_cell():
     np.testing.assert_allclose(np.asarray(c_new[0]), ct.numpy(), atol=2e-5)
 
 
+def test_fused_lm_head_loss_matches_torch_cross_entropy():
+    """The fused gen training loss (ops/lm_loss.py — online-logsumexp fwd,
+    tile-softmax d-logits bwd) == torch's masked mean cross-entropy over
+    the same logits, values AND grads (outs, w, b).  Independent
+    cross-framework pin on the round-3 custom VJP."""
+    from visdial_tpu.ops.lm_loss import masked_nll_fused
+
+    N, T, H, V = 4, 5, 12, 29
+    rng = np.random.default_rng(0)
+    outs = rng.standard_normal((N, T, H)).astype(np.float32)
+    w = (rng.standard_normal((H, V)) * 0.3).astype(np.float32)
+    b = (rng.standard_normal(V) * 0.1).astype(np.float32)
+    tgt = rng.integers(0, V, size=(N, T)).astype(np.int32)
+    tgt[0, 3:] = 0          # trailing pad
+    tgt[2] = 0              # fully-ignored row
+
+    ours, g = jax.value_and_grad(masked_nll_fused, argnums=(0, 1, 2))(
+        jnp.asarray(outs), jnp.asarray(w), jnp.asarray(b), jnp.asarray(tgt))
+
+    t_outs = torch.tensor(outs, requires_grad=True)
+    t_w = torch.tensor(w, requires_grad=True)
+    t_b = torch.tensor(b, requires_grad=True)
+    logits = (t_outs.reshape(N * T, H) @ t_w + t_b)
+    theirs = torch.nn.functional.cross_entropy(
+        logits, torch.tensor(tgt.reshape(N * T), dtype=torch.long),
+        ignore_index=0, reduction="mean")
+    theirs.backward()
+
+    np.testing.assert_allclose(float(ours), float(theirs), atol=1e-5)
+    for a, t in zip(g, (t_outs, t_w, t_b)):
+        np.testing.assert_allclose(np.asarray(a), t.grad.numpy(), atol=1e-4)
+
+
 # ---- whole-model cross-checks -------------------------------------------
 # The strongest parity evidence available without a readable reference:
 # an INDEPENDENT reimplementation of the full scoring pipeline — torch
