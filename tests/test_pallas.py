@@ -247,6 +247,36 @@ def test_masked_nll_fused_value_and_grads():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
 
 
+def test_masked_nll_fused_bf16_grads():
+    """bf16 fast-path variant: the fused backward rounds d-logits to the
+    compute dtype before the dW/dx matmuls (ops/lm_loss.py), while the
+    twin's autodiff keeps them f32.  Bound that rounding: with bf16 hidden
+    states the two must agree to bf16-level tolerance (advisor finding,
+    round 3 — the f32 tests cannot see this cast)."""
+    from visdial_tpu.ops.lm_loss import masked_nll_fused, masked_nll_ref
+
+    N, T, H, V = 6, 5, 32, 53
+    outs = (jax.random.normal(jax.random.PRNGKey(0), (N, T, H))
+            .astype(jnp.bfloat16))
+    w = jax.random.normal(jax.random.PRNGKey(1), (H, V)) * 0.3
+    b = jax.random.normal(jax.random.PRNGKey(2), (V,)) * 0.1
+    tgt = jax.random.randint(jax.random.PRNGKey(3), (N, T), 0, V)
+    tgt = tgt.at[0, 2:].set(0)      # trailing pad
+
+    ref_v, ref_g = jax.value_and_grad(masked_nll_ref, argnums=(0, 1, 2))(
+        outs, w, b, tgt)
+    fus_v, fus_g = jax.value_and_grad(masked_nll_fused, argnums=(0, 1, 2))(
+        outs, w, b, tgt)
+    np.testing.assert_allclose(np.asarray(ref_v), np.asarray(fus_v),
+                               rtol=2e-3)
+    # d-outs compares in bf16 (one rounding each side); dW/db accumulate
+    # over N*T bf16 d-logit terms — allow bf16-eps-scaled slack.
+    for a, b_, tol in zip(ref_g, fus_g, (3e-2, 2e-2, 2e-2)):
+        a, b_ = np.asarray(a, np.float32), np.asarray(b_, np.float32)
+        scale = np.maximum(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b_, a, atol=tol * scale)
+
+
 def test_gen_loss_pallas_twin(tiny_data):
     """gen_loss value+grads agree across impls (eval-mode: no dropout —
     the pallas impl routes through the fused LM-head loss)."""

@@ -151,7 +151,7 @@ def test_fused_lm_head_loss_matches_torch_cross_entropy():
         ignore_index=0, reduction="mean")
     theirs.backward()
 
-    np.testing.assert_allclose(float(ours), float(theirs), atol=1e-5)
+    np.testing.assert_allclose(float(ours), float(theirs.detach()), atol=1e-5)
     for a, t in zip(g, (t_outs, t_w, t_b)):
         np.testing.assert_allclose(np.asarray(a), t.grad.numpy(), atol=1e-4)
 
@@ -330,6 +330,76 @@ def test_hre_qih_disc_whole_model_matches_torch_twin():
 
 def test_hrea_qih_disc_whole_model_matches_torch_twin():
     _hre_twin("hrea-ques-im-hist")
+
+
+def _gen_cand_score(m_lm, table, dec, joint, tin, tout, L, H):
+    """One candidate's gen score: forwardConnect (h0 = joint per layer,
+    c0 = 0), teacher-forced token log-probs summed over REAL targets."""
+    w_out = np.asarray(dec["out_proj"]["w"], np.float32)
+    b_out = np.asarray(dec["out_proj"]["b"], np.float32)
+    h0 = torch.from_numpy(np.tile(joint, (L, 1, 1)).astype(np.float32))
+    c0 = torch.zeros(L, 1, H)
+    tin, tout = np.asarray(tin), np.asarray(tout)
+    n = int((tin != 0).sum())            # <START> + real tokens
+    x = torch.from_numpy(table[tin[:n]][None].astype(np.float32))
+    with torch.no_grad():
+        outs, _ = m_lm(x, (h0, c0))
+    logits = outs[0].numpy() @ w_out + b_out                # (n, V)
+    logp = logits - np.log(
+        np.exp(logits - logits.max(-1, keepdims=True)).sum(
+            -1, keepdims=True)) - logits.max(-1, keepdims=True)
+    return sum(logp[t, tout[t]] for t in range(n) if tout[t] != 0)
+
+
+def _hre_gen_twin(encoder):
+    """HRE/HREA-QIH-gen whole-model twin — the last composition without
+    independent evidence (round-3 verdict Weak #5): the dialog-LSTM context
+    chain feeding forwardConnect + teacher-forced candidate scoring, as an
+    explicit torch+numpy reimplementation vs our vectorized model_scores."""
+    cfg, params, batch, ours = _twin_setup(encoder, decoder="gen")
+    E, H, L = cfg.embed_size, cfg.rnn_hidden_size, cfg.num_layers
+    table = np.asarray(params["embed"]["table"])
+    enc, dec = params["encoder"], params["decoder"]
+    m_q = _to_torch_lstm(enc["ques_lstm"], E, H, L)
+    m_f = _to_torch_lstm(enc["fact_lstm"], E, H, L)
+    m_d = _to_torch_lstm(enc["dialog_lstm"], H, H, 1)
+    m_lm = _to_torch_lstm(dec["lm_lstm"], E, H, L)
+
+    img_h = _lin(enc["img_proj"], np.asarray(batch.img, np.float32))
+    B, R, K = batch.ques.shape[0], cfg.num_rounds, cfg.num_options
+    twin = np.zeros((B, R, K), np.float32)
+    for b in range(B):
+        f_h = np.stack([_lstm_last(m_f, table, batch.facts[b, s], H)
+                        for s in range(R)])                       # (R, H)
+        with torch.no_grad():
+            d_outs, _ = m_d(torch.from_numpy(f_h[None].astype(np.float32)))
+        d_outs = d_outs[0].numpy()                                # (R, H)
+        for r in range(R):
+            q_h = _lstm_last(m_q, table, batch.ques[b, r], H)
+            query = np.tanh(_lin(enc["query_fusion"],
+                                 np.concatenate([q_h, img_h[b]])))
+            if encoder.startswith("hrea"):
+                logits = np.array([query @ d_outs[s] for s in range(r + 1)])
+                att = np.exp(logits - logits.max())
+                att /= att.sum()
+                ctx = sum(att[s] * d_outs[s] for s in range(r + 1))
+            else:
+                ctx = d_outs[r]
+            joint = np.tanh(_lin(enc["fusion"],
+                                 np.concatenate([query, ctx])))
+            for k in range(K):
+                twin[b, r, k] = _gen_cand_score(
+                    m_lm, table, dec, joint,
+                    batch.opt_in[b, r, k], batch.opt_out[b, r, k], L, H)
+    np.testing.assert_allclose(ours, twin, atol=3e-4)
+
+
+def test_hre_qih_gen_whole_model_matches_torch_twin():
+    _hre_gen_twin("hre-ques-im-hist")
+
+
+def test_hrea_qih_gen_whole_model_matches_torch_twin():
+    _hre_gen_twin("hrea-ques-im-hist")
 
 
 def test_lf_qih_disc_whole_model_matches_torch_twin():

@@ -22,6 +22,18 @@ from .data.loader import EvalLoader
 from .parallel.mesh import shard_batch
 
 
+from .parallel.train_step import (
+    make_disc_table_eval_fns,
+    make_eval_fn,
+    make_gen_bucket_eval_fns,
+)
+from .utils.metrics import (
+    candidate_rankings,
+    ranks_from_scores,
+    retrieval_metrics,
+)
+
+
 @functools.lru_cache(maxsize=16)
 def _cached_disc_table_fns(cfg: Config, mesh):
     """One compiled (table_fn, score_fn) pair per (cfg, mesh): repeated
@@ -34,16 +46,6 @@ def _cached_disc_table_fns(cfg: Config, mesh):
 @functools.lru_cache(maxsize=16)
 def _cached_gen_bucket_fns(cfg: Config, mesh):
     return make_gen_bucket_eval_fns(cfg, mesh)
-from .parallel.train_step import (
-    make_disc_table_eval_fns,
-    make_eval_fn,
-    make_gen_bucket_eval_fns,
-)
-from .utils.metrics import (
-    candidate_rankings,
-    ranks_from_scores,
-    retrieval_metrics,
-)
 
 # Batch fields any encoder reads; everything else an eval fast path needs
 # stays on the host or is gathered on device from once-uploaded tables.

@@ -227,9 +227,9 @@ def lstm_layer_pallas(w, b, x, mask, h0, c0, *, interpret: bool | None = None,
         in_specs=[
             pl.BlockSpec((1, TB, E_pad), step_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, T), row_blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # wx — DMA'd to scratch
-            pl.BlockSpec(memory_space=pltpu.ANY),   # wh
-            pl.BlockSpec(memory_space=pltpu.ANY),   # b
+            pl.BlockSpec(memory_space=pl.ANY),   # wx — DMA'd to scratch
+            pl.BlockSpec(memory_space=pl.ANY),   # wh
+            pl.BlockSpec(memory_space=pl.ANY),   # b
             pl.BlockSpec((TB, H), row_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, H), row_blk, memory_space=pltpu.VMEM),
         ],
@@ -424,9 +424,9 @@ def lstm_layer_bwd_pallas(w, b, x, mask, h_prev_all, c_prev_all,
             pl.BlockSpec((1, TB, H), rev_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TB, H), rev_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, T), row_blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # wx
-            pl.BlockSpec(memory_space=pltpu.ANY),   # wh
-            pl.BlockSpec(memory_space=pltpu.ANY),   # b
+            pl.BlockSpec(memory_space=pl.ANY),   # wx
+            pl.BlockSpec(memory_space=pl.ANY),   # wh
+            pl.BlockSpec(memory_space=pl.ANY),   # b
             pl.BlockSpec((1, TB, H), rev_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, H), row_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, H), row_blk, memory_space=pltpu.VMEM),

@@ -214,7 +214,9 @@ def gen_rows_score(params, joint, opt_list, opt_list_len, opt_rows, row_idx,
     pos = jnp.arange(width, dtype=jnp.int32)[None, :]
     opt_out = jnp.where(pos == lens[:, None], end_token, base)
     joint_rows = jnp.take(joint, row_idx, axis=0)
-    # rows arrive length-bucketed by the harness — skip the in-jit sort
+    # rows arrive coarsely width-bucketed by the harness (3 buckets, not
+    # length-homogeneous tiles); re-sorting inside the jit was measured as
+    # a net loss, so skip it — per-tile kernel bounds stay exact either way
     return gen_score_rows(params["decoder"], params["embed"],
                           joint_rows, opt_in, opt_out, cfg, impl=impl,
                           sort=False)
