@@ -98,11 +98,17 @@ def main(argv=None) -> dict:
     p.add_argument("--ties", type=str, default="optimistic",
                    choices=("optimistic", "pessimistic", "mean"),
                    help="rank convention for score ties (parity probing)")
-    p.add_argument("--resident", action="store_true",
+    p.add_argument("--resident", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="cache the split's eval batches on device and score "
                         "in one dispatch — both decoders, composes with "
-                        "--save_ranks/--dense_json (fastest for repeated "
-                        "evals; auto streaming fallback over the byte cap)")
+                        "--save_ranks/--dense_json; identical scores to the "
+                        "streaming path (tests/test_resident_eval.py) and "
+                        "strictly faster (77k vs 8.1k evals/s, BASELINE.md), "
+                        "so it is the DEFAULT — --no-resident streams "
+                        "(auto streaming fallback over the byte cap either "
+                        "way); train.py's periodic eval defaults the same "
+                        "way")
     p.add_argument("--save_ranks", type=str, default="",
                    help="write full candidate rankings here in the v1.0 "
                         "challenge submission JSON format")
