@@ -1,0 +1,201 @@
+"""Parity runbook: reference artifacts -> the two acceptance MRR numbers.
+
+SURVEY.md §4 item 6 / §6: the acceptance test for this rebuild is training
+LF-QIH-disc and MN-QIH-gen on real VisDial v0.9 and landing within ±0.002
+MRR of the published table (BASELINE.md).  This box has no real data, so
+the first real-data session must not be an improvisation — this script IS
+the rehearsed composition (round-3 verdict, Missing #1):
+
+  1. ingest the reference's three artifacts (visdial_data.h5,
+     visdial_params.json, data_img.h5) via data/ingest_h5 (Lua index-base
+     auto-detection) — any --data_dir load_split understands works, native
+     npz included;
+  2. sanity-check the VGG fc7 feature distribution BEFORE spending hours
+     of training on silently broken features (round-3 verdict, Weak #7);
+  3. train LF-QIH-disc and MN-QIH-gen at the survey hparams (the Config
+     defaults) with full checkpointing;
+  4. evaluate each FINAL CHECKPOINT through the evaluate CLI (exercising
+     the checkpoint round-trip, not the in-training eval);
+  5. print one JSON line per model with the MRR delta vs the published
+     number and a pass/fail verdict at the ±0.002 bar.
+
+Usage (real data — the one command of the first real-data session):
+
+    python scripts/parity_run.py --data_dir /path/to/reference_artifacts
+
+Rehearsal (synthetic artifacts, tiny dims — exercised by
+tests/test_parity_run.py, marked slow):
+
+    python scripts/parity_run.py --data_dir <dir> --config_json dims.json \
+        --max_steps 60 --no-check
+
+Every stage prints a JSON line; the final summary is the last line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from visdial_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+# Published v0.9 val MRR (BASELINE.md high-confidence rows).
+TARGETS = {"lf-disc": 0.5807, "mn-gen": 0.5259}
+MODELS = {"lf-disc": ("lf-ques-im-hist", "disc"),
+          "mn-gen": ("mn-ques-im-hist", "gen")}
+MRR_BAR = 0.002
+
+
+def emit(obj: dict) -> None:
+    print(json.dumps(obj), flush=True)
+
+
+def check_img_features(split, name: str, strict: bool) -> dict:
+    """VGG fc7 feature-distribution sanity (runs BEFORE training).
+
+    Real fc7 activations are post-ReLU: non-negative, sparse (typically
+    50–90% exact zeros pre-normalization), with no NaN/Inf and no all-zero
+    rows.  L2-normalized features (imgNorm applied at prepro time) have
+    unit row norms instead.  Hard failures (NaN/Inf, all-zero rows, a
+    constant matrix) abort; distribution oddities print as warnings —
+    synthetic rehearsal features are gaussian and legitimately trip those.
+    """
+    f = np.asarray(split.img_feat, np.float64)
+    row_norms = np.linalg.norm(f.reshape(f.shape[0], -1), axis=1)
+    report = {
+        "event": "img_feature_check", "split": name,
+        "shape": list(f.shape), "mean": float(f.mean()),
+        "std": float(f.std()), "min": float(f.min()), "max": float(f.max()),
+        "zero_frac": float((f == 0).mean()),
+        "neg_frac": float((f < 0).mean()),
+        "row_norm_mean": float(row_norms.mean()),
+        "row_norm_min": float(row_norms.min()),
+        "nonfinite": int((~np.isfinite(f)).sum()),
+    }
+    problems, warnings = [], []
+    if report["nonfinite"]:
+        problems.append(f"{report['nonfinite']} NaN/Inf feature values")
+    if (row_norms == 0).any():
+        problems.append(f"{int((row_norms == 0).sum())} all-zero feature "
+                        "rows (missing images?)")
+    if report["std"] == 0.0:
+        problems.append("constant feature matrix")
+    if report["neg_frac"] > 0:
+        warnings.append("negative values present — fc7 is post-ReLU, so "
+                        "expect 0 unless features were centered/whitened")
+    unit = np.allclose(row_norms[row_norms > 0], 1.0, atol=1e-3)
+    if report["zero_frac"] < 0.05 and not unit:
+        warnings.append("feature matrix is dense (<5% zeros) and not "
+                        "L2-normalized — unusual for raw fc7; check the "
+                        "extraction layer")
+    report["warnings"] = warnings
+    report["ok"] = not problems
+    emit(report)
+    if problems:
+        emit({"event": "img_feature_check_failed", "split": name,
+              "problems": problems})
+        if strict:
+            raise SystemExit(f"image feature check failed: {problems}")
+    return report
+
+
+def cfg_flags(overrides: dict) -> list[str]:
+    out = []
+    for k, v in overrides.items():
+        out += [f"--{k}", str(v).lower() if isinstance(v, bool) else str(v)]
+    return out
+
+
+def main(argv=None) -> dict:
+    apply_platform_env()
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_dir", required=True,
+                   help="directory load_split understands: the three "
+                        "reference h5/json artifacts, or native npz")
+    p.add_argument("--work_dir", default="runs/parity",
+                   help="checkpoints + metrics root for both training runs")
+    p.add_argument("--models", default="lf-disc,mn-gen",
+                   help="comma list from {lf-disc, mn-gen}")
+    p.add_argument("--num_epochs", type=int, default=0,
+                   help="override Config.num_epochs (0 = keep default)")
+    p.add_argument("--max_steps", type=int, default=0,
+                   help="cap steps (rehearsal); 0 = run the full epochs")
+    p.add_argument("--config_json", default="",
+                   help="JSON file of Config field overrides applied to "
+                        "BOTH runs (rehearsal dims / hparam probing)")
+    p.add_argument("--check", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="exit non-zero unless every MRR lands within "
+                        "±0.002 of the published number (--no-check for "
+                        "rehearsals on synthetic data)")
+    p.add_argument("--steps_per_dispatch", type=int, default=8,
+                   help="train dispatch grouping (see train.py)")
+    args = p.parse_args(argv)
+
+    from visdial_tpu.data.dataset import load_split
+    from visdial_tpu.evaluate import main as evaluate_main
+    from visdial_tpu.train import main as train_main
+    from visdial_tpu.utils.checkpoint import latest_checkpoint
+
+    overrides = {}
+    if args.config_json:
+        with open(args.config_json) as f:
+            overrides = json.load(f)
+    if args.num_epochs:
+        overrides["num_epochs"] = args.num_epochs
+
+    # Stage 1+2: ingest (or native load) + feature sanity, both splits.
+    for split_name in ("train", "val"):
+        data, vocab = load_split(args.data_dir, split_name)
+        emit({"event": "ingested", "split": split_name,
+              "dialogs": data.num_dialogs,
+              "unique_options": int(data.opt_list.shape[0]),
+              "vocab": vocab.size, "vocab_sha": vocab.content_hash()})
+        check_img_features(data, split_name, strict=args.check)
+        del data
+
+    summary = {"event": "parity_summary", "data_dir": args.data_dir}
+    all_pass = True
+    for key in args.models.split(","):
+        encoder, decoder = MODELS[key]
+        run_name = f"parity-{key}"
+        train_argv = [
+            "--encoder", encoder, "--decoder", decoder,
+            "--data_dir", args.data_dir, "--save_path", args.work_dir,
+            "--run_name", run_name,
+            "--steps_per_dispatch", str(args.steps_per_dispatch),
+        ] + cfg_flags(overrides)
+        if args.max_steps:
+            train_argv += ["--max_steps", str(args.max_steps)]
+        emit({"event": "train_start", "model": key, "argv": train_argv})
+        train_main(train_argv)
+
+        ckpt = latest_checkpoint(os.path.join(args.work_dir, run_name))
+        assert ckpt, f"no checkpoint written for {key}"
+        metrics = evaluate_main(["--load_path", ckpt,
+                                 "--data_dir", args.data_dir])
+        delta = metrics["mrr"] - TARGETS[key]
+        ok = abs(delta) <= MRR_BAR
+        all_pass &= ok
+        emit({"event": "parity_result", "model": key, "checkpoint": ckpt,
+              "mrr": metrics["mrr"], "target_mrr": TARGETS[key],
+              "delta": delta, "bar": MRR_BAR, "pass": ok})
+        summary[f"{key}_mrr"] = metrics["mrr"]
+        summary[f"{key}_delta"] = delta
+
+    summary["all_pass"] = all_pass
+    emit(summary)
+    if args.check and not all_pass:
+        raise SystemExit("parity FAILED: MRR outside the ±0.002 acceptance "
+                         "bar (see parity_result lines above)")
+    return summary
+
+
+if __name__ == "__main__":
+    main()

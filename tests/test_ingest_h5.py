@@ -20,14 +20,18 @@ from visdial_tpu.data.synthetic import make_synthetic_split
 
 
 def _write_reference_artifacts(tmpdir, split_obj, vocab, split="train", *,
-                               ans_index_mode="position1", img_pos_mode="lua"):
-    """VisDialSplit -> reference-schema visdial_data.h5/params.json/data_img.h5."""
+                               ans_index_mode="position1", img_pos_mode="lua",
+                               mode="w"):
+    """VisDialSplit -> reference-schema visdial_data.h5/params.json/data_img.h5.
+
+    mode="a" appends a second split into existing files (the reference
+    artifacts hold train and val datasets side by side in one h5)."""
     data_h5 = os.path.join(tmpdir, "visdial_data.h5")
     params_json = os.path.join(tmpdir, "visdial_params.json")
     img_h5 = os.path.join(tmpdir, "data_img.h5")
 
     n = split_obj.num_dialogs
-    with h5py.File(data_h5, "w") as h:
+    with h5py.File(data_h5, mode) as h:
         h[f"ques_{split}"] = split_obj.ques
         h[f"ques_length_{split}"] = split_obj.ques_len
         h[f"ans_{split}"] = split_obj.ans
@@ -54,7 +58,7 @@ def _write_reference_artifacts(tmpdir, split_obj, vocab, split="train", *,
         else:
             raise ValueError(img_pos_mode)
 
-    with h5py.File(img_h5, "w") as h:
+    with h5py.File(img_h5, mode) as h:
         h[f"images_{split}"] = split_obj.img_feat[perm]
 
     # reference params.json: 1-based word2ind WITHOUT <START>/<END>
