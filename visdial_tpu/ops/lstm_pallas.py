@@ -65,10 +65,25 @@ def _pick_tile(T: int, E_pad: int, H: int, itemsize: int,
     if backward:
         # h_prev + c_prev + g_hs inputs, and dgp out is 4H wide (vs hs's H)
         per_row += 2 * (3 * H + 3 * H) * itemsize
+        # Mosaic's real live set is tighter than the fwd stack charge:
+        # measured on-chip (round 4), TB=200 compiles at flagship bwd
+        # shapes (E 300 and 512) while TB>=208 is a genuine VMEM OOM —
+        # halve the gates-stack charge for the backward, landing TB~184.
+        per_row -= 2 * 4 * H * 4
     tb = max(VMEM_BUDGET - weights, 0) // max(per_row, 1)
     tb = max(8, min(512, (tb // 8) * 8))
-    if N is not None and _round_up(N, 16) < tb:
-        tb = _round_up(N, 16)      # 16 covers the bf16 sublane minimum
+    if N is not None:
+        if _round_up(N, 16) < tb:
+            return _round_up(N, 16)  # 16 covers the bf16 sublane minimum
+        # Prefer the largest tile within ~25% of the VMEM max that divides
+        # N exactly: a non-divisor tile makes the wrapper jnp.pad-copy
+        # EVERY (N, T, ·) operand (~1 GB of HBM traffic on the 32k-row
+        # flagship backward — measured +18-21% per layer on v5e; divisor
+        # tiles 160 and 200 tied at 15.6-16.0/13.0-13.2 ms max/realistic
+        # vs 18.2-19.9 ms for 176/184/192/208).
+        for cand in range(tb, max(tb * 3 // 4, 8) - 1, -8):
+            if N % cand == 0:
+                return cand
     return tb
 
 
@@ -225,7 +240,11 @@ def lstm_layer_pallas(w, b, x, mask, h0, c0, *, interpret: bool | None = None,
         num_scalar_prefetch=1,          # the (n_tiles, 2) step bounds
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, TB, E_pad), step_blk, memory_space=pltpu.VMEM),
+            # x fetches are span-clamped: skipped steps re-address the
+            # previous block and trigger no DMA (outputs stay unclamped —
+            # every step emits its carried state)
+            pl.BlockSpec((1, TB, E_pad), _clamped_step_map(T),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, T), row_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),   # wx — DMA'd to scratch
             pl.BlockSpec(memory_space=pl.ANY),   # wh
@@ -416,13 +435,22 @@ def lstm_layer_bwd_pallas(w, b, x, mask, h_prev_all, c_prev_all,
     row_blk = lambda i, t, *_: (i, 0)
     bounds = _tile_bounds(mask, TB, T)
 
+    def rev_clamped(i, t, b):
+        # span-clamped reverse fetch: skipped steps (all rows mask-0 there)
+        # re-address the nearest in-span block — no DMA.  g_hs stays
+        # UNclamped: skipped steps still consume its cotangent.
+        lo = jnp.minimum(b[i, 0], T - 1)
+        hi = jnp.maximum(b[i, 1] - 1, lo)
+        return (jnp.clip((T - 1) - t, lo, hi), i, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,          # the (n_tiles, 2) step bounds
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, TB, E_pad), rev_blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TB, H), rev_blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TB, H), rev_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, E_pad), rev_clamped,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, H), rev_clamped, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, H), rev_clamped, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, T), row_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),   # wx
             pl.BlockSpec(memory_space=pl.ANY),   # wh
@@ -466,6 +494,18 @@ def lstm_layer_bwd_pallas(w, b, x, mask, h_prev_all, c_prev_all,
       wx, wh, b2, tm(g_hs), g_ht.astype(jnp.float32),
       g_ct.astype(jnp.float32))
     return jnp.swapaxes(dgp, 0, 1)[:N], dh0[:N], dc0[:N]
+
+
+def _clamped_step_map(T):
+    """Block index map over time-major (T, N, ·) arrays that pins
+    out-of-span steps to the nearest in-span block: consecutive repeats of
+    a block index skip the fetch entirely, so tiles whose rows are shorter
+    than T pay DMA only for their real span."""
+    def index_map(i, t, bounds):
+        lo = jnp.minimum(bounds[i, 0], T - 1)
+        hi = jnp.maximum(bounds[i, 1] - 1, lo)
+        return (jnp.clip(t, lo, hi), i, 0)
+    return index_map
 
 
 def _layer_xla(w, b, x, mask, h0, c0):
@@ -527,7 +567,20 @@ def _layer_fwd(w, b, x, mask, h0, c0):
 
 
 def _layer_bwd_kernel_path(residuals, g):
-    """dgp via the fused Pallas kernel; dW/dx as three XLA matmuls."""
+    """dgp via the fused Pallas kernel; dW/dx as three dense XLA matmuls.
+
+    The dense contraction is a MEASURED decision (round 4): a bounded
+    Pallas contraction kernel (span-clamped fetches, revisited f32
+    accumulator blocks — skipping the ~2/3 all-zero pad rows at real
+    answer lengths) lost to these full padded-width matmuls at flagship
+    shapes on v5e — 16.0/13.7 ms (max/realistic) vs 9.9 ms dense for the
+    E=300 layer — because the per-grid-step read-modify-write of the
+    ~7 MB f32 accumulators plus the grid floor cost more than the padded
+    rows, which the MXU contracts at full tilt.  A lax.cond picking per
+    batch regressed the full train step further (fusion barrier around
+    the operands).  The pad-skip win lives where work is SEQUENTIAL (the
+    recurrence kernels' per-tile bounds), not in the contractions.
+    """
     w, b, x, mask, h0, c0, hs, cs = residuals
     g_hs, g_ht, g_ct = g
     N, T, E = x.shape
