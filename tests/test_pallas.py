@@ -123,6 +123,29 @@ def test_attention_pallas_matches_xla():
     np.testing.assert_allclose(np.asarray(g_x), np.asarray(g_p), atol=1e-5)
 
 
+def test_attention_pallas_spatial_49_slots():
+    """Pin the fused attention kernel on the img_spatial operating shape:
+    R=10 question queries over S=49 pool5 locations (rectangular, all
+    valid, lane-unaligned slot count) at the production H=512 — the shape
+    `bench.py --img_spatial` runs on the chip (PARITY row 29)."""
+    B, R, S, H = 6, 10, 49, 512
+    q = jax.random.normal(jax.random.PRNGKey(4), (B, R, H))
+    s = jax.random.normal(jax.random.PRNGKey(5), (B, S, H))
+    valid = jnp.ones((B, R, S))
+    a_x = masked_slot_attention(q, s, valid, impl="xla")
+    a_p = masked_slot_attention(q, s, valid, impl="pallas")
+    np.testing.assert_allclose(np.asarray(a_x), np.asarray(a_p),
+                               atol=2e-5, rtol=1e-5)
+
+    def loss(q, impl):
+        return jnp.sum(masked_slot_attention(q, s, valid, impl=impl) ** 2)
+
+    g_x = jax.grad(lambda q: loss(q, "xla"))(q)
+    g_p = jax.grad(lambda q: loss(q, "pallas"))(q)
+    np.testing.assert_allclose(np.asarray(g_x), np.asarray(g_p),
+                               atol=2e-4, rtol=1e-4)
+
+
 def test_model_scores_pallas_twin(tiny_data):
     """Full model candidate scoring agrees across impls (MN encoder hits
     both the LSTM and attention kernels)."""
