@@ -315,10 +315,8 @@ def bench_harness_e2e(cfg, num_dialogs: int = 512,
         # Device-resident split: upload-once stacks + one-dispatch scan;
         # the warm number is what repeated evals (train-loop periodic
         # eval, sweeps) see.
-        evaluate_split(params, split, vocab, dcfg, mesh,
-                       resident=True, **fns)   # build cache + compile
         m2 = evaluate_split(params, split, vocab, dcfg, mesh,
-                            resident=True, **fns)
+                            resident=True, **fns)  # build cache + compile
         res = median_rate(lambda: evaluate_split(
             params, split, vocab, dcfg, mesh,
             resident=True, **fns)["evals_per_sec"])

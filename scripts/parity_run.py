@@ -66,14 +66,23 @@ def check_img_features(split, name: str, strict: bool) -> dict:
     constant matrix) abort; distribution oddities print as warnings —
     synthetic rehearsal features are gaussian and legitimately trip those.
     """
-    f = np.asarray(split.img_feat, np.float64)
-    row_norms = np.linalg.norm(f.reshape(f.shape[0], -1), axis=1)
+    # stats in f64 accumulators WITHOUT materializing an f64 copy — real
+    # v0.9 train features are ~1.3 GB f32 and doubling that here would be
+    # the session's peak-memory moment
+    f = np.asarray(split.img_feat)
+    flat = f.reshape(f.shape[0], -1)
+    row_norms = np.sqrt(np.einsum("ij,ij->i", flat, flat,
+                                  dtype=np.float64))
+    mean = float(f.mean(dtype=np.float64))
     report = {
         "event": "img_feature_check", "split": name,
-        "shape": list(f.shape), "mean": float(f.mean()),
-        "std": float(f.std()), "min": float(f.min()), "max": float(f.max()),
-        "zero_frac": float((f == 0).mean()),
-        "neg_frac": float((f < 0).mean()),
+        "shape": list(f.shape), "mean": mean,
+        "std": float(np.sqrt(max(
+            float(np.einsum("ij,ij->", flat, flat, dtype=np.float64))
+            / f.size - mean ** 2, 0.0))),
+        "min": float(f.min()), "max": float(f.max()),
+        "zero_frac": float((f == 0).mean(dtype=np.float64)),
+        "neg_frac": float((f < 0).mean(dtype=np.float64)),
         "row_norm_mean": float(row_norms.mean()),
         "row_norm_min": float(row_norms.min()),
         "nonfinite": int((~np.isfinite(f)).sum()),
@@ -138,6 +147,14 @@ def main(argv=None) -> dict:
                    help="train dispatch grouping (see train.py)")
     args = p.parse_args(argv)
 
+    # validate the whole model list BEFORE the (hours-long) ingest/train
+    # work so a typo can't abort the session halfway through
+    model_keys = [k.strip() for k in args.models.split(",") if k.strip()]
+    unknown = [k for k in model_keys if k not in MODELS]
+    if unknown:
+        raise SystemExit(f"unknown --models entries {unknown}; "
+                         f"valid: {', '.join(MODELS)}")
+
     from visdial_tpu.data.dataset import load_split
     from visdial_tpu.evaluate import main as evaluate_main
     from visdial_tpu.train import main as train_main
@@ -162,7 +179,7 @@ def main(argv=None) -> dict:
 
     summary = {"event": "parity_summary", "data_dir": args.data_dir}
     all_pass = True
-    for key in args.models.split(","):
+    for key in model_keys:
         encoder, decoder = MODELS[key]
         run_name = f"parity-{key}"
         train_argv = [

@@ -1,10 +1,29 @@
-"""Probe (TB, K) combos for the K-blocked LSTM kernels at gen-train
+"""Probe (TB, K) combos for K-BLOCKED LSTM kernel variants at gen-train
 shapes (single-tile small-N calls) on the real chip.
 
-Per-dispatch host overhead on the tunneled chip is 1-3 ms and NOISY —
-larger than the kernels being measured — so each timing point runs the
-kernel G times inside ONE on-device lax.scan (serialized through a scalar
-carry), exactly how bench.py gets stable step times.
+HISTORICAL RECORD + RUNNABLE TB PROBE.  The K-blocked kernel variant
+(K time steps statically unrolled per grid step, built to divide the
+small-tile per-grid-step floor by K) was measured with this script in
+round 4 and DROPPED — the committed kernels are K=1.  Measured on the
+tunneled v5e chip (on-device lax.scan loops of G=50 serialized
+invocations; per-invocation microseconds, best of 4):
+
+    fwd  T=16 E=300: TB=320 K=1/2/3/4 -> 630/680/641/686
+                     TB=160 K=1/2/3/4/8 -> 683/651/641/654/636
+    bwd  T=16 E=300: TB=320 K=1 -> 717; TB=160 K=1/2 -> 713/718
+    fwd  T=9  E=300: TB=320 K=1/2/3/4 -> 599/599/586/644
+    bwd  T=9  E=512: TB=160 K=1/2 -> 668/676
+    (T=16 E=512 and the remaining combos: same picture)
+
+Timings are FLAT in K — the floor is DMA/per-invocation-bound, not
+launch-count-bound — and the backward variant failed Mosaic compilation
+(remote_compile HTTP 500) at K>=3 on every shape.  Conclusion recorded
+in CLAUDE.md (round-4 facts) and docs/KERNELS.md §7: gen train's cure is
+batch size (committed bench operating point batch 64), not kernel shape.
+
+Running this script today probes the committed K=1 kernels over the TB
+grid (still useful after tile-heuristic changes); K>1 rows print SKIPPED
+unless a K-blocked variant is reintroduced (detected via lp._pick_k).
 
 Usage: python scripts/probe_k.py [fwd|bwd|both]
 """
@@ -53,7 +72,9 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     N, H = 320, 512
     key = jax.random.PRNGKey(0)
-    orig_tile, orig_k = lp._pick_tile, lp._pick_k
+    has_k = hasattr(lp, "_pick_k")   # K-blocked variant present?
+    orig_tile = lp._pick_tile
+    orig_k = getattr(lp, "_pick_k", None)
 
     for T in (16, 9):
         for E in (300, 512):
@@ -85,8 +106,15 @@ def main():
                 for K in (1, 2, 3, 4, 8):
                     if K > T:
                         continue
+                    if K > 1 and not has_k:
+                        print(f"T={T} E={E} TB={TB} K={K}: SKIPPED "
+                              "(K-blocked kernels not in tree — see "
+                              "docstring for the measured record)",
+                              flush=True)
+                        continue
                     lp._pick_tile = lambda *a, **kw: TB
-                    lp._pick_k = lambda *a, **kw: K
+                    if has_k:
+                        lp._pick_k = lambda *a, **kw: K
                     try:
                         if which in ("fwd", "both"):
                             dt = timeit(scan_timer(fwd_build),
@@ -102,7 +130,9 @@ def main():
                         print(f"T={T} E={E} TB={TB} K={K}: FAILED "
                               f"{str(e)[:90]}", flush=True)
                     finally:
-                        lp._pick_tile, lp._pick_k = orig_tile, orig_k
+                        lp._pick_tile = orig_tile
+                        if has_k:
+                            lp._pick_k = orig_k
 
 
 if __name__ == "__main__":

@@ -435,13 +435,10 @@ def lstm_layer_bwd_pallas(w, b, x, mask, h_prev_all, c_prev_all,
     row_blk = lambda i, t, *_: (i, 0)
     bounds = _tile_bounds(mask, TB, T)
 
-    def rev_clamped(i, t, b):
-        # span-clamped reverse fetch: skipped steps (all rows mask-0 there)
-        # re-address the nearest in-span block — no DMA.  g_hs stays
-        # UNclamped: skipped steps still consume its cotangent.
-        lo = jnp.minimum(b[i, 0], T - 1)
-        hi = jnp.maximum(b[i, 1] - 1, lo)
-        return (jnp.clip((T - 1) - t, lo, hi), i, 0)
+    # span-clamped reverse fetch: skipped steps (all rows mask-0 there)
+    # re-address the nearest in-span block — no DMA.  g_hs stays
+    # UNclamped: skipped steps still consume its cotangent.
+    rev_clamped = _clamped_step_map(T, reverse=True)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,          # the (n_tiles, 2) step bounds
@@ -496,15 +493,18 @@ def lstm_layer_bwd_pallas(w, b, x, mask, h_prev_all, c_prev_all,
     return jnp.swapaxes(dgp, 0, 1)[:N], dh0[:N], dc0[:N]
 
 
-def _clamped_step_map(T):
+def _clamped_step_map(T, reverse: bool = False):
     """Block index map over time-major (T, N, ·) arrays that pins
     out-of-span steps to the nearest in-span block: consecutive repeats of
     a block index skip the fetch entirely, so tiles whose rows are shorter
-    than T pay DMA only for their real span."""
+    than T pay DMA only for their real span.  With reverse=True the grid
+    index walks time backwards (the backward kernel's convention); the
+    clamp algebra is shared so the two directions cannot desynchronize."""
     def index_map(i, t, bounds):
         lo = jnp.minimum(bounds[i, 0], T - 1)
         hi = jnp.maximum(bounds[i, 1] - 1, lo)
-        return (jnp.clip(t, lo, hi), i, 0)
+        tt = (T - 1) - t if reverse else t
+        return (jnp.clip(tt, lo, hi), i, 0)
     return index_map
 
 
