@@ -1,0 +1,58 @@
+"""Unit tests for bench.py's pure helpers.
+
+bench.py is the committed measurement tool of record (the driver runs it
+once per round), so its host-side logic gets the same twin-style pinning
+as the kernels: the stall-rejecting median_rate sampler and the flagship
+config builder (incl. the --img_spatial wiring) are cheap to test without
+a device.
+"""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench  # noqa: E402
+
+
+def test_median_rate_rejects_single_stall():
+    """One stalled (slow) window out of three must not move the median."""
+    draws = iter([100.0, 3.0, 98.0])   # middle window ate a stall
+    assert bench.median_rate(lambda: next(draws)) == 98.0
+
+
+def test_median_rate_runs_n_windows():
+    calls = []
+    bench.median_rate(lambda: calls.append(1) or float(len(calls)), n=5)
+    assert len(calls) == 5
+
+
+def test_flagship_config_defaults():
+    cfg = bench.flagship_config()
+    assert (cfg.encoder, cfg.decoder) == ("mn-ques-im-hist", "disc")
+    assert cfg.batch_size == 32
+    assert cfg.compute_dtype == "bfloat16"
+    assert not cfg.img_spatial
+
+
+def test_flagship_config_img_spatial():
+    """--img_spatial must produce a config the validator accepts, with the
+    49x512 pool5 geometry (PARITY row 29)."""
+    cfg = bench.flagship_config(img_spatial=True)
+    assert cfg.img_spatial
+    assert cfg.img_feat_size == 49 * 512
+    assert cfg.img_spatial_slots * cfg.img_spatial_channels \
+        == cfg.img_feat_size
+
+
+def test_flagship_config_img_spatial_geometry_validated():
+    """The Config validator rejects a feat size that doesn't factor into
+    slots x channels — the guard the bench flag relies on.  (Validation
+    runs via .validate(), which from_dict/replace — the CLI paths — call;
+    bare construction is unvalidated by design.)"""
+    from visdial_tpu.config import Config
+
+    with pytest.raises(ValueError):
+        Config(img_spatial=True, img_feat_size=100).validate()
