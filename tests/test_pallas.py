@@ -107,6 +107,54 @@ def test_lstm_pallas_tile_bounds_skip_exactly(lstm_setup):
                                        atol=1e-4)
 
 
+def test_lstm_pallas_fuzz_twin_multi_tile():
+    """Seeded sweep of value+grad twin equivalence over shapes the fixed
+    tests never hit: MULTI-TILE grids (tile forced small so several batch
+    tiles run per call, exercising per-tile bounds, span-clamped fetches,
+    and the divisor/round-up paths of _pick_tile), tiles whose rows are
+    ALL pad, length-sorted and unsorted rows, T=1, and odd E/H.  Interpret
+    mode on CPU, deterministic seeds."""
+    import visdial_tpu.ops.lstm_pallas as lp
+
+    rng = np.random.default_rng(7)
+    # (N, T, E, H, forced_tile, lengths)
+    cases = [
+        (32, 9, 12, 16, 8, rng.integers(0, 10, 32)),      # 4 tiles, mixed
+        (24, 5, 7, 8, 8, np.sort(rng.integers(1, 3, 24))[::-1]),  # short
+        (40, 4, 9, 24, 8, np.full(40, 4)),                # no pads at all
+        (8, 1, 4, 8, None, rng.integers(0, 2, 8)),        # T=1 edge
+        (32, 7, 10, 8, 8, np.r_[rng.integers(1, 8, 8),    # tile 2 of 4 is
+                                np.zeros(8, int),         # ALL-pad rows
+                                rng.integers(1, 8, 16)]),
+    ]
+    for N, T, E, H, tile, lengths in cases:
+        params = lstm_init(jax.random.PRNGKey(N + T), E, H, 2)
+        x = jax.random.normal(jax.random.PRNGKey(N * T), (N, T, E))
+        mask = _right_aligned_mask(np.asarray(lengths), T)
+        h0 = jax.random.normal(jax.random.PRNGKey(E), (2, N, H))
+        c0 = jax.random.normal(jax.random.PRNGKey(H), (2, N, H))
+
+        def loss(p, impl):
+            o, (h, c) = masked_lstm(p, x, mask, h0, c0, impl=impl)
+            return jnp.sum(o ** 2) + jnp.sum(h ** 2) + jnp.sum(c ** 2)
+
+        v_x, g_x = jax.value_and_grad(lambda p: loss(p, "xla"))(params)
+        orig_tile, orig_force = lp._pick_tile, lp.FORCE_BWD_KERNEL
+        if tile is not None:
+            lp._pick_tile = lambda *a, **k: tile
+        lp.FORCE_BWD_KERNEL = True
+        try:
+            v_p, g_p = jax.value_and_grad(lambda p: loss(p, "pallas"))(params)
+        finally:
+            lp._pick_tile, lp.FORCE_BWD_KERNEL = orig_tile, orig_force
+        err = f"case N={N} T={T} E={E} H={H} tile={tile}"
+        np.testing.assert_allclose(np.asarray(v_x), np.asarray(v_p),
+                                   rtol=2e-5, err_msg=err)
+        for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, err_msg=err)
+
+
 def test_attention_pallas_matches_xla():
     q = jax.random.normal(jax.random.PRNGKey(2), (6, 4, 16))
     s = jax.random.normal(jax.random.PRNGKey(3), (6, 4, 16))
