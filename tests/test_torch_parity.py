@@ -428,3 +428,33 @@ def test_lf_qih_disc_whole_model_matches_torch_twin():
                 twin[b, r, k] = joint @ _lstm_last(
                     m_o, table, batch.opt[b, r, k], H)
     np.testing.assert_allclose(ours, twin, atol=3e-4)
+
+
+def test_lf_qih_gen_whole_model_matches_torch_twin():
+    """LF encoder feeding the gen decoder — the last encoder-decoder
+    composition without cross-framework evidence (every other wiring has a
+    whole-model twin): concat-history LF joint -> forwardConnect ->
+    teacher-forced candidate scoring, vs our vectorized model_scores."""
+    cfg, params, batch, ours = _twin_setup("lf-ques-im-hist", decoder="gen")
+    E, H, L = cfg.embed_size, cfg.rnn_hidden_size, cfg.num_layers
+    table = np.asarray(params["embed"]["table"])
+    enc, dec = params["encoder"], params["decoder"]
+    m_q = _to_torch_lstm(enc["ques_lstm"], E, H, L)
+    m_h = _to_torch_lstm(enc["hist_lstm"], E, H, L)
+    m_lm = _to_torch_lstm(dec["lm_lstm"], E, H, L)
+
+    img_h = _lin(enc["img_proj"], np.asarray(batch.img, np.float32))
+    B, R, K = batch.ques.shape[0], cfg.num_rounds, cfg.num_options
+    twin = np.zeros((B, R, K), np.float32)
+    for b in range(B):
+        for r in range(R):
+            q_h = _lstm_last(m_q, table, batch.ques[b, r], H)
+            n = int(batch.hist_bounds[b, r])
+            h_h = _lstm_last(m_h, table, batch.hist_flat[b, :n], H)
+            cat = np.concatenate([q_h, h_h, img_h[b]])
+            joint = np.tanh(_lin(enc["fusion"], cat))
+            for k in range(K):
+                twin[b, r, k] = _gen_cand_score(
+                    m_lm, table, dec, joint,
+                    batch.opt_in[b, r, k], batch.opt_out[b, r, k], L, H)
+    np.testing.assert_allclose(ours, twin, atol=3e-4)
