@@ -294,6 +294,56 @@ def test_lm_score_kernel_matches_ref():
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
 
 
+def test_attention_pallas_fuzz_shapes():
+    """Seeded sweep of the fused attention kernel over query/slot counts
+    the fixed tests never hit (single query round, R != S rectangles,
+    ragged random masks) — value + grad vs the XLA twin.  Every query row
+    keeps >= 1 valid slot (the production invariant: round r always sees
+    slot 0)."""
+    rng = np.random.default_rng(11)
+    for B, R, S, H in [(5, 4, 4, 16), (2, 10, 10, 64), (4, 1, 7, 32),
+                       (3, 6, 11, 40)]:
+        q = jax.random.normal(jax.random.PRNGKey(B * R), (B, R, H))
+        s = jax.random.normal(jax.random.PRNGKey(S), (B, S, H))
+        v = rng.integers(0, 2, (B, R, S)).astype(np.float32)
+        v[..., 0] = 1.0                      # >=1 valid slot per query
+        valid = jnp.asarray(v)
+        err = f"case B={B} R={R} S={S} H={H}"
+        a_x = masked_slot_attention(q, s, valid, impl="xla")
+        a_p = masked_slot_attention(q, s, valid, impl="pallas")
+        np.testing.assert_allclose(np.asarray(a_x), np.asarray(a_p),
+                                   atol=2e-5, err_msg=err)
+
+        def loss(q, impl):
+            return jnp.sum(masked_slot_attention(q, s, valid, impl=impl)**2)
+
+        g_x = jax.grad(lambda q: loss(q, "xla"))(q)
+        g_p = jax.grad(lambda q: loss(q, "pallas"))(q)
+        np.testing.assert_allclose(np.asarray(g_x), np.asarray(g_p),
+                                   atol=2e-4, err_msg=err)
+
+
+def test_lm_score_kernel_fuzz_shapes():
+    """Seeded sweep of the online-logsumexp scorer over row/vocab counts
+    around the kernel's tiling boundaries (vocab smaller than one tile,
+    just past a tile edge, single row)."""
+    from visdial_tpu.ops.lm_score_pallas import lm_token_logprobs_pallas
+
+    for NT, H, V in [(1, 8, 11), (17, 16, 130), (64, 32, 513),
+                     (29, 24, 1024)]:
+        x = jax.random.normal(jax.random.PRNGKey(NT), (NT, H))
+        w = jax.random.normal(jax.random.PRNGKey(H), (H, V))
+        b = jax.random.normal(jax.random.PRNGKey(V), (V,)) * 0.1
+        tgt = jax.random.randint(jax.random.PRNGKey(3), (NT,), 0, V)
+        logits = x @ w + b
+        ref = jnp.take_along_axis(jax.nn.log_softmax(logits, -1),
+                                  tgt[:, None], axis=-1)[:, 0]
+        got = lm_token_logprobs_pallas(x, w, b, tgt)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   atol=2e-5,
+                                   err_msg=f"NT={NT} H={H} V={V}")
+
+
 def test_masked_nll_fused_value_and_grads():
     """Fused LM-head training loss (online-logsumexp fwd + tile-softmax
     d-logits bwd) == materialized-logits twin, values and all grads."""
