@@ -84,9 +84,20 @@ def tree_shardings(template, mesh: Mesh):
 
 
 def shard_batch(batch_dict: dict, mesh: Mesh) -> dict:
-    """device_put every batch array with the data-axis sharding."""
+    """device_put every batch array with the data-axis sharding.
+
+    A batch whose dialog dimension is not divisible by the data axis
+    (e.g. `generate --batch_size 4` on an 8-device mesh) degrades to
+    replicated, mirroring tree_shardings' documented policy — device_put
+    rejects uneven shards outright, and the eval/generate CLIs must stay
+    usable at any batch size.  Divisible (production) layouts are
+    unaffected."""
+    n = mesh.shape["data"]
     sh = batch_sharding(mesh)
-    return {k: jax.device_put(v, sh) for k, v in batch_dict.items()}
+    rep = NamedSharding(mesh, P())
+    return {k: jax.device_put(
+        v, sh if np.shape(v)[0] % n == 0 else rep)
+        for k, v in batch_dict.items()}
 
 
 def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
