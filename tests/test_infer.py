@@ -75,3 +75,32 @@ def test_engine_from_in_memory_components():
     top = eng.rank_answers("tok1 tok2 ?", caption="tok3",
                            history=[("tok4 ?", "tok5")], top_k=3)
     assert len(top) == 3 and all("answer" in t and "score" in t for t in top)
+
+
+def test_cli_json_lines_loop(tmp_path, monkeypatch, capsys):
+    """The serving CLI surface itself (SURVEY-beyond component): one JSON
+    query per stdin line -> one JSON answer per stdout line, with a bad
+    request producing an error line instead of a dead server."""
+    import io
+    import json
+
+    from visdial_tpu.infer import main as infer_main
+
+    ckpt = _checkpoint(tmp_path, "disc")
+    queries = "\n".join([
+        json.dumps({"question": "w010 w011 ?", "caption": "w012"}),
+        "{not json",                              # must not kill the loop
+        json.dumps({"question": "w013 ?",
+                    "history": [["w014 ?", "w015"]]}),
+    ]) + "\n"
+    monkeypatch.setattr("sys.stdin", io.StringIO(queries))
+    infer_main(["--load_path", ckpt, "--synthetic", "4", "--top_k", "3"])
+
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["event"] == "ready"
+    assert len(lines) == 4                        # ready + 3 responses
+    assert len(lines[1]["answers"]) == 3
+    assert all("answer" in a and "score" in a for a in lines[1]["answers"])
+    assert "error" in lines[2] and "JSONDecodeError" in lines[2]["error"]
+    assert len(lines[3]["answers"]) == 3          # loop survived the error
