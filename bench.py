@@ -117,6 +117,64 @@ def _step_flops(train_fn, state, batch) -> float | None:
 
 TRAIN_DISPATCH_GROUP = 8   # steps per dispatch (train.py --steps_per_dispatch)
 
+_PROBE_SRC = """
+import os
+import jax
+# sitecustomize latches the TPU platform at interpreter start on this box;
+# honor an explicit JAX_PLATFORMS override the way the CLIs do
+# (visdial_tpu.utils.platform.apply_platform_env) so CPU test runs probe CPU.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+import jax.numpy as jnp, numpy as np
+x = jnp.ones((128, 128), jnp.bfloat16)
+print(float(np.asarray(jax.jit(lambda a: a @ a)(x))[0, 0]))
+"""
+
+
+def wait_for_device(max_wait_s: float = 3600.0,
+                    probe_timeout_s: float = 180.0,
+                    retry_sleep_s: float = 120.0) -> bool:
+    """Gate the run on the device answering a tiny dispatch from a
+    DISPOSABLE subprocess.
+
+    The tunneled chip this box benches on goes fully down for 1h+
+    stretches; a first dispatch then hangs forever inside a C call (the
+    hung process even ignores SIGTERM), which would silently eat the one
+    bench invocation the driver makes per round.  Probing from a
+    subprocess keeps the hang killable (SIGKILL on timeout); we retry
+    until the tunnel answers or the budget runs out, then proceed
+    regardless — a broken probe must never block a working bench.
+
+    Returns True once a probe succeeds, False if the budget ran out.
+    """
+    import subprocess
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.time()
+        try:
+            r = subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                               capture_output=True, text=True,
+                               timeout=probe_timeout_s)
+            ok = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            if attempt > 1:
+                log(f"[probe] device answered on attempt {attempt} "
+                    f"({time.time() - t0:.0f}s)")
+            return True
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            log(f"[probe] device still unresponsive after {attempt} "
+                f"attempts / {max_wait_s:.0f}s budget; proceeding anyway")
+            return False
+        log(f"[probe] device unresponsive (attempt {attempt}); retrying in "
+            f"{retry_sleep_s:.0f}s ({remaining / 60:.0f} min budget left)")
+        time.sleep(min(retry_sleep_s, remaining))
+
 
 def bench_train(cfg, steps: int = 16, warmup: int = 3,
                 group: int = TRAIN_DISPATCH_GROUP,
@@ -371,6 +429,8 @@ def bench_serving(cfg, n_calls: int = 30) -> dict:
 
 
 def bench_jax(args) -> dict:
+    wait_for_device()
+
     import jax
 
     from visdial_tpu.utils.platform import enable_compilation_cache

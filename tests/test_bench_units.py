@@ -29,6 +29,34 @@ def test_median_rate_runs_n_windows():
     assert len(calls) == 5
 
 
+def test_wait_for_device_success_fast(monkeypatch):
+    """A healthy platform answers the subprocess probe on attempt 1 (the
+    conftest pins JAX_PLATFORMS=cpu, which the probe child inherits)."""
+    assert bench.wait_for_device(max_wait_s=60.0, probe_timeout_s=60.0)
+
+
+def test_wait_for_device_budget_runs_out(monkeypatch):
+    """A hung device (probe never returns) must exhaust the budget and
+    come back False — never hang the bench process itself."""
+    monkeypatch.setattr(bench, "_PROBE_SRC",
+                        "import time; time.sleep(3600)")
+    assert not bench.wait_for_device(max_wait_s=1.0, probe_timeout_s=0.5,
+                                     retry_sleep_s=0.2)
+
+
+def test_wait_for_device_recovers_after_failures(monkeypatch, tmp_path):
+    """A probe that fails then succeeds (tunnel coming back) returns True."""
+    flag = tmp_path / "probe_flag"
+    monkeypatch.setattr(
+        bench, "_PROBE_SRC",
+        f"import pathlib, sys\n"
+        f"p = pathlib.Path({str(flag)!r})\n"
+        f"if p.exists(): sys.exit(0)\n"
+        f"p.touch(); sys.exit(1)\n")
+    assert bench.wait_for_device(max_wait_s=30.0, probe_timeout_s=10.0,
+                                 retry_sleep_s=0.1)
+
+
 def test_flagship_config_defaults():
     cfg = bench.flagship_config()
     assert (cfg.encoder, cfg.decoder) == ("mn-ques-im-hist", "disc")
