@@ -48,6 +48,58 @@ def test_checkpoint_roundtrip_full_state(tmp_path):
                                   np.asarray(jax.random.key_data(state2.rng)))
 
 
+def _saved_checkpoint(tmp_path):
+    cfg = _cfg()
+    state = init_train_state(cfg)
+    return save_checkpoint(str(tmp_path), state, cfg), cfg
+
+
+def test_truncated_npz_fails_loudly(tmp_path):
+    """A torn/corrupted params file must raise, never load garbage.  (The
+    atomic tmp-dir+rename write makes torn checkpoints near-impossible in
+    normal operation; this pins the failure mode for disk corruption.)"""
+    import os
+
+    path, _ = _saved_checkpoint(tmp_path)
+    f = os.path.join(path, "params.npz")
+    with open(f, "r+b") as fh:
+        fh.truncate(os.path.getsize(f) // 2)
+    with pytest.raises(Exception):
+        load_checkpoint(path)
+
+
+def test_missing_array_fails_with_named_key(tmp_path):
+    """An npz that lost an array (foreign/hand-edited checkpoint) names the
+    missing parameter instead of KeyError-ing opaquely."""
+    import os
+
+    path, _ = _saved_checkpoint(tmp_path)
+    f = os.path.join(path, "params.npz")
+    with np.load(f) as z:
+        d = dict(z)
+    dropped = sorted(d)[0]
+    del d[dropped]
+    np.savez(f, **d)
+    with pytest.raises(ValueError, match="missing array"):
+        load_checkpoint(path)
+
+
+def test_shape_mismatch_fails_with_named_key(tmp_path):
+    """Arrays that disagree with the embedded config (edited meta.json,
+    mixed-up files) are rejected by name, not silently reshaped."""
+    import os
+
+    path, _ = _saved_checkpoint(tmp_path)
+    f = os.path.join(path, "params.npz")
+    with np.load(f) as z:
+        d = dict(z)
+    k = sorted(d)[0]
+    d[k] = np.zeros(np.asarray(d[k]).size + 1, np.float32)
+    np.savez(f, **d)
+    with pytest.raises(ValueError, match="shape"):
+        load_checkpoint(path)
+
+
 @pytest.mark.slow
 def test_resume_continues_identically(tmp_path):
     """Train 6 steps straight vs 3 steps -> checkpoint -> 3 more: identical

@@ -37,7 +37,19 @@ def _dict_to_tree(template, d: dict[str, np.ndarray]):
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
     for path, leaf in flat:
-        arr = d[tree_path_str(path)]
+        key = tree_path_str(path)
+        if key not in d:
+            raise ValueError(
+                f"checkpoint is missing array '{key}' (corrupt file, or a "
+                f"checkpoint whose meta.json was edited out from under its "
+                f"arrays)")
+        arr = d[key]
+        want = np.asarray(leaf).shape
+        if arr.shape != want:
+            raise ValueError(
+                f"checkpoint array '{key}' has shape {arr.shape}, expected "
+                f"{want} from the embedded config — the arrays do not match "
+                f"the config stored beside them")
         leaves.append(np.asarray(arr, dtype=np.asarray(leaf).dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
