@@ -152,6 +152,7 @@ def wait_for_device(max_wait_s: float = 5 * 3600.0,
 
     deadline = time.time() + max_wait_s
     attempt = 0
+    fast_failures = 0
     while True:
         attempt += 1
         t0 = time.time()
@@ -160,6 +161,16 @@ def wait_for_device(max_wait_s: float = 5 * 3600.0,
                                capture_output=True, text=True,
                                timeout=probe_timeout_s)
             ok = r.returncode == 0
+            if not ok:
+                # A CRASHING probe (nonzero exit, not a hang) means the
+                # probe itself is broken, not the tunnel — don't burn the
+                # multi-hour outage budget on it.
+                fast_failures += 1
+                if fast_failures >= 3:
+                    log(f"[probe] probe crashed {fast_failures}x (not a "
+                        f"hang); last stderr: {r.stderr.strip()[-300:]!r} — "
+                        f"proceeding anyway")
+                    return False
         except subprocess.TimeoutExpired:
             ok = False
         if ok:
@@ -438,13 +449,6 @@ def bench_jax(args) -> dict:
 
     enable_compilation_cache()
 
-    from visdial_tpu.data.synthetic import random_batch
-    from visdial_tpu.parallel.mesh import shard_batch
-    from visdial_tpu.parallel.train_step import (
-        init_train_state,
-        shard_train_state,
-    )
-
     cfg = flagship_config(args.encoder, args.decoder, args.batch_size,
                           args.compute_dtype, img_spatial=args.img_spatial)
     jax.config.update("jax_default_prng_impl", cfg.prng_impl)
@@ -486,13 +490,12 @@ def bench_jax(args) -> dict:
         # ride-along number isn't a 2-dispatch sample
         g = bench_train(gcfg, steps=max(args.steps * 2, 32),
                         full_lengths=not args.realistic_lengths)
-        gstate, gmesh = g.pop("_state"), g.pop("_mesh")
-        g.pop("_batch")
+        gstate, gmesh, gbatch = (g.pop("_state"), g.pop("_mesh"),
+                                 g.pop("_batch"))
         stats["gen_train_rounds_per_sec_per_chip"] = \
             g["train_rounds_per_sec_per_chip"]
         if "train_mfu" in g:
             stats["gen_train_mfu"] = g["train_mfu"]
-        gbatch = shard_batch(random_batch(gcfg, seed=0), gmesh)
         stats.update(bench_eval(gcfg, gstate, gmesh, gbatch, steps=4))
 
     if not args.realistic_lengths and not args.no_realistic:

@@ -44,13 +44,17 @@ def _dict_to_tree(template, d: dict[str, np.ndarray]):
                 f"checkpoint whose meta.json was edited out from under its "
                 f"arrays)")
         arr = d[key]
-        want = np.asarray(leaf).shape
+        # shape/dtype come from the template leaf's ATTRIBUTES — never
+        # np.asarray(leaf), which would read the whole template back from
+        # the device (twice per leaf, tens of seconds over the tunnel).
+        want = tuple(getattr(leaf, "shape", ()) or ())
         if arr.shape != want:
             raise ValueError(
                 f"checkpoint array '{key}' has shape {arr.shape}, expected "
                 f"{want} from the embedded config — the arrays do not match "
                 f"the config stored beside them")
-        leaves.append(np.asarray(arr, dtype=np.asarray(leaf).dtype))
+        want_dtype = getattr(leaf, "dtype", None) or np.asarray(leaf).dtype
+        leaves.append(np.asarray(arr, dtype=want_dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
