@@ -29,6 +29,7 @@ from visdial_tpu.data.synthetic import make_synthetic_split
 from visdial_tpu.parallel.mesh import make_mesh, shard_batch
 from visdial_tpu.parallel.train_step import (
     init_train_state,
+    make_eval_fn,
     make_train_fn,
     shard_train_state,
 )
@@ -69,3 +70,26 @@ def test_train_step_flops_divide_across_mesh(decoder, dp8_min, dp4tp2_min):
     # cost-model slack — a reading far below 1/8 means the cost model (or
     # the lowering) changed out from under this test.
     assert f_dp8 >= f1 / 8 * 0.9, (f1, f_dp8)
+
+
+@pytest.mark.slow  # mesh compiles, ~30 s on the 1-CPU host
+def test_eval_scores_flops_divide_across_mesh():
+    """The batch-scoring eval fn has no replicated optimizer tail, so its
+    per-device flops divide ~perfectly by the data axis (measured 8.0x)."""
+    cfg = small_config(encoder="lf-ques-im-hist", decoder="disc",
+                       batch_size=8)
+    split, vocab = make_synthetic_split(cfg, num_dialogs=8, seed=3)
+    cfg = cfg.replace(vocab_size=vocab.size)
+    batch = BatchAssembler(split, vocab, cfg).assemble(np.arange(8)).as_dict()
+
+    flops = {}
+    for ndev in (1, 8):
+        mesh = make_mesh(data=ndev, model=1, devices=jax.devices()[:ndev])
+        params = shard_train_state(init_train_state(cfg), cfg, mesh).params
+        b = shard_batch(batch, mesh)
+        compiled = make_eval_fn(cfg, mesh).lower(params, b).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops[ndev] = float(ca["flops"])
+    assert flops[1] / flops[8] >= 6.0, flops
+    assert flops[8] >= flops[1] / 8 * 0.9, flops
