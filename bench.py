@@ -131,16 +131,17 @@ print(float(np.asarray(jax.jit(lambda a: a @ a)(x))[0, 0]))
 """
 
 
-def wait_for_device(max_wait_s: float = 8 * 3600.0,
+def wait_for_device(max_wait_s: float = 12 * 3600.0,
                     probe_timeout_s: float = 180.0,
                     retry_sleep_s: float = 120.0) -> bool:
     """Gate the run on the device answering a tiny dispatch from a
     DISPOSABLE subprocess.
 
     The tunneled chip this box benches on goes fully down for multi-hour
-    stretches (a 5h+ outage was observed round 4, hence the 8h budget —
-    waiting beats proceeding: into a dead tunnel the first dispatch
-    hangs unkillably, so a longer wait only ever improves the odds);
+    stretches (a 7h+ overnight outage was observed round 4, hence the
+    12h budget — waiting beats proceeding: into a dead tunnel the first
+    dispatch hangs unkillably, so a longer wait only ever improves the
+    odds, and a working device exits the gate in seconds);
     a first dispatch then hangs forever inside a C call (the
     hung process even ignores SIGTERM), which would silently eat the one
     bench invocation the driver makes per round.  Probing from a
