@@ -98,3 +98,43 @@ def test_flagship_config_img_spatial_geometry_validated():
 
     with pytest.raises(ValueError):
         Config(img_spatial=True, img_feat_size=100).validate()
+
+
+def _load_tunnel_watch():
+    """Import scripts/tunnel_watch.py by path (scripts/ is not a package)."""
+    import importlib.util
+
+    path = Path(__file__).resolve().parent.parent / "scripts" / "tunnel_watch.py"
+    spec = importlib.util.spec_from_file_location("tunnel_watch", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_tunnel_watch_exits_zero_when_device_up(monkeypatch, tmp_path):
+    """An answering device ends the watch immediately with exit 0 and an
+    'UP' status line — the contract `tunnel_watch.py && bench.py` chains on."""
+    tw = _load_tunnel_watch()
+    monkeypatch.setattr(tw, "STATUS", tmp_path / "status")
+    monkeypatch.setattr(tw.bench, "wait_for_device", lambda **kw: True)
+    assert tw.main() == 0
+    assert tw.STATUS.read_text().startswith("UP at ")
+
+
+def test_tunnel_watch_polls_through_outage(monkeypatch, tmp_path):
+    """While the tunnel is down the watcher keeps the status file current
+    ('down as of ...') and keeps polling; it exits the moment a probe
+    answers."""
+    tw = _load_tunnel_watch()
+    monkeypatch.setattr(tw, "STATUS", tmp_path / "status")
+    seen_down = []
+    answers = iter([False, False, True])
+    monkeypatch.setattr(tw.bench, "wait_for_device",
+                        lambda **kw: next(answers))
+    monkeypatch.setattr(
+        tw.time, "sleep",
+        lambda s: seen_down.append(tw.STATUS.read_text()))
+    assert tw.main() == 0
+    assert len(seen_down) == 2
+    assert all(t.startswith("down as of ") for t in seen_down)
+    assert tw.STATUS.read_text().startswith("UP at ")
