@@ -230,8 +230,10 @@ def bench_train(cfg, steps: int = 16, warmup: int = 3,
     # NOTE: block_until_ready does not reliably block under the tunneled
     # TPU runtime here; a host readback of a scalar is the sync point.
     t0 = time.time()
+    first_m = None
     for _ in range(warmup):
         state, m = train_fn(state, batches)
+        first_m = first_m if first_m is not None else m
     float(np.asarray(m["loss"]).ravel()[-1])
     log(f"[jax] compile+warmup {time.time() - t0:.1f}s")
 
@@ -264,6 +266,13 @@ def bench_train(cfg, steps: int = 16, warmup: int = 3,
     out = {
         "train_rounds_per_sec": train_rps,
         "train_rounds_per_sec_per_chip": train_rps / n_chips,
+        # Fixed-seed first-dispatch loss sequence: the round-over-round
+        # numeric fingerprint of the production dtype/backend trajectory
+        # (the CPU-f32 golden fixture can't see an on-chip kernel
+        # regression that keeps throughput but bends numerics).  Same
+        # code + same data => identical; BASELINE.md records the band.
+        "loss_fingerprint": [round(float(x), 5)
+                             for x in np.asarray(first_m["loss"]).ravel()],
         "_state": state, "_mesh": mesh, "_batch": batch,
     }
     if flops is not None:
@@ -443,6 +452,26 @@ def bench_serving(cfg, n_calls: int = 30) -> dict:
             f"serving_{scfg.decoder}_p95_ms": round(p95, 2)}
 
 
+def kernel_check(args) -> dict:
+    """On-chip Pallas-vs-XLA equivalence gate (visdial_tpu/verify): every
+    kernel and its pure-JAX twin at flagship shapes ON THIS BACKEND, hard
+    tolerance asserts.  The CPU test suite only ever runs the kernels in
+    interpreter mode; compiled Mosaic is a different code path with
+    observed compiled-only failure modes (CLAUDE.md round-4 facts), so a
+    throughput number for a miscompiled kernel would be meaningless —
+    main() refuses to exit 0 if this block is not ok."""
+    if args.no_kernel_check:
+        return {}
+    from visdial_tpu.verify import run_checks
+
+    log("[jax] kernel equivalence gate (Pallas vs XLA twins, flagship shapes)")
+    t0 = time.time()
+    kc = run_checks("flagship", log=log)
+    log(f"[jax] kernel gate {'OK' if kc['ok'] else 'FAILED'} "
+        f"({time.time() - t0:.0f}s)")
+    return {"kernel_check": kc}
+
+
 def bench_jax(args) -> dict:
     wait_for_device()
 
@@ -456,6 +485,7 @@ def bench_jax(args) -> dict:
                           args.compute_dtype, img_spatial=args.img_spatial)
     jax.config.update("jax_default_prng_impl", cfg.prng_impl)
     stats = {"backend": jax.default_backend(), "n_chips": len(jax.devices()),
+             **kernel_check(args),
              "lengths": "realistic-uniform" if args.realistic_lengths else "max",
              "model": f"{cfg.encoder}-{cfg.decoder}",
              "compute_dtype": cfg.compute_dtype,
@@ -497,6 +527,7 @@ def bench_jax(args) -> dict:
                                  g.pop("_batch"))
         stats["gen_train_rounds_per_sec_per_chip"] = \
             g["train_rounds_per_sec_per_chip"]
+        stats["gen_loss_fingerprint"] = g["loss_fingerprint"]
         if "train_mfu" in g:
             stats["gen_train_mfu"] = g["train_mfu"]
         stats.update(bench_eval(gcfg, gstate, gmesh, gbatch, steps=4))
@@ -657,6 +688,10 @@ def main(argv=None) -> None:
                    help="skip the ride-along gen-decoder measurements")
     p.add_argument("--no_realistic", action="store_true",
                    help="skip the ride-along realistic-lengths block")
+    p.add_argument("--no_kernel_check", action="store_true",
+                   help="skip the on-chip Pallas-vs-XLA equivalence gate "
+                        "(iteration convenience; the committed artifact "
+                        "must carry the kernel_check block)")
     p.add_argument("--img_spatial", action="store_true",
                    help="use the flattened 7x7 pool5 spatial image feature "
                         "with per-question attention over the 49 slots "
@@ -681,6 +716,14 @@ def main(argv=None) -> None:
            for k, v in jax_stats.items()},
     }
     print(json.dumps(result), flush=True)
+    kc = result.get("kernel_check")
+    if kc is not None and not kc.get("ok"):
+        # Hard gate: throughput for a miscompiled kernel is meaningless.
+        # The JSON (with per-check errors) is already on stdout for the
+        # record; fail the invocation loudly.
+        failed = [c["name"] for c in kc.get("checks", []) if not c["ok"]]
+        log(f"[jax] KERNEL EQUIVALENCE GATE FAILED: {failed}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -64,6 +64,54 @@ def test_grouped_dispatch_resume_matches_per_step_run(tmp_path):
                   _params_at(root, "grouped", 7), atol=1e-6)
 
 
+def test_cross_mesh_resume_matches_unbroken_run(tmp_path):
+    """mesh_data/mesh_model are RESUME_OVERRIDABLE (config.py): the recovery
+    story (SURVEY.md §5) includes resuming a checkpoint on a replacement
+    slice with a DIFFERENT shape.  Train 4 steps on the (8,1) mesh, resume
+    to 7 on (4,2) and on (1,1); both must land on the unbroken 8-device
+    run's parameters (checkpoints are mesh-agnostic host arrays; jit
+    reshards the loaded state to each mesh's layout of record)."""
+    root = str(tmp_path)
+    base = ARGS + ["--mesh_data", "8", "--mesh_model", "1"]
+    train_main(base + ["--max_steps", "7", "--save_every", "7",
+                       "--save_path", root, "--run_name", "unbroken"])
+    for name, (d, m) in {"mesh42": (4, 2), "mesh11": (1, 1)}.items():
+        train_main(base + ["--max_steps", "4", "--save_every", "4",
+                           "--save_path", root, "--run_name", name])
+        train_main(ARGS + ["--mesh_data", str(d), "--mesh_model", str(m),
+                           "--max_steps", "7", "--save_every", "7",
+                           "--resume", "--save_path", root,
+                           "--run_name", name])
+        tree_allclose(_params_at(root, "unbroken", 7),
+                      _params_at(root, name, 7), atol=1e-6)
+
+
+def test_resumed_state_lands_vocab_leaves_on_model_axis(tmp_path):
+    """A checkpoint loaded back and shard_train_state'd onto a mesh with a
+    real model axis must actually place the vocab-dimensioned leaves on
+    'model' (the TP layout of record), not silently replicate them."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from visdial_tpu.parallel.mesh import make_mesh
+    from visdial_tpu.parallel.train_step import (init_train_state,
+                                                 shard_train_state)
+    from visdial_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+    from tests.conftest import small_config
+
+    cfg = small_config(vocab_size=512, decoder="gen")  # divisible by model=2
+    path = save_checkpoint(str(tmp_path), init_train_state(cfg), cfg)
+    state, _, _ = load_checkpoint(path)
+    mesh = make_mesh(data=4, model=2, devices=jax.devices())
+    state = shard_train_state(state, cfg, mesh)
+    assert state.params["embed"]["table"].sharding.spec == P("model", None)
+    assert state.params["decoder"]["out_proj"]["w"].sharding.spec == \
+        P(None, "model")
+    # LSTM weights stay replicated at this model scale
+    assert state.params["decoder"]["lm_lstm"]["layers"][0]["w"] \
+        .sharding.spec == P()
+
+
 def test_resume_with_mismatched_config_fails_loudly(tmp_path):
     """A resume whose flags disagree with the checkpoint's structural config
     (architecture, sizes, lr, ...) must abort, not silently train

@@ -23,12 +23,17 @@ from ..utils.tree import tree_path_str
 
 
 def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+    """('data', 'model') mesh.  data=-1 fills all devices; an explicit
+    data*model smaller than the device count takes the first data*model
+    devices — the recovery story (SURVEY.md §5) resumes a checkpoint on a
+    replacement slice that may be SMALLER than the original mesh."""
     devices = list(devices if devices is not None else jax.devices())
     if data == -1:
         data = len(devices) // model
-    assert data * model == len(devices), (
-        f"mesh {data}x{model} != {len(devices)} devices")
-    arr = np.array(devices).reshape(data, model)
+    assert data * model <= len(devices), (
+        f"mesh {data}x{model} needs {data * model} devices, "
+        f"found {len(devices)}")
+    arr = np.array(devices[: data * model]).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 
 
