@@ -193,7 +193,7 @@ def wait_for_device(max_wait_s: float = 12 * 3600.0,
 
 def bench_train(cfg, steps: int = 16, warmup: int = 3,
                 group: int = TRAIN_DISPATCH_GROUP,
-                full_lengths: bool = True) -> dict:
+                full_lengths: bool = True, host_batches=None) -> dict:
     """Train throughput (+ achieved TFLOP/s + MFU) for one model config.
 
     Measured through the multi-step dispatch path (G steps scanned on
@@ -224,6 +224,7 @@ def bench_train(cfg, steps: int = 16, warmup: int = 3,
     state = shard_train_state(init_train_state(cfg), cfg, mesh)
     train_fn = make_multistep_train_fn(cfg, mesh)
     batches = shard_batch_stack(
+        host_batches if host_batches is not None else
         [random_batch(cfg, seed=s, full_lengths=full_lengths)
          for s in range(group)], mesh)
 
@@ -353,6 +354,58 @@ def bench_eval(cfg, state, mesh, batch, steps: int = 8,
         f"(+{t_table:.2f}s one-time {M}-row table)")
     out["disc_table_eval_per_sec_per_chip"] = table_eps / n_chips
     out["disc_table_build_seconds"] = t_table
+    return out
+
+
+def bench_dedup(cfg, steps: int = 16) -> dict:
+    """Disc-train candidate-dedup operating point (Config.disc_dedup_options).
+
+    The fixed random_batch used by the headline rows has ~all-unique
+    candidate rows, so it cannot show the dedup win; here batches come
+    through the REAL TrainLoader from a v0.9-scale random split (100k-row
+    shared opt_list, realistic uniform[1,La] answer lengths).  Three rows:
+      * plain     — expanded (B*R*K, La) option rows (dedup off)
+      * dedup     — unique-rows+gather at UNIFORM candidate sampling
+                    (measured ~14% duplicate rows; a lower bound for real
+                    data — scripts/measure_dedup.py)
+      * dedup_zipf— the same under zipf(1.2) answer-popularity skew
+                    (~84% duplicates; what real VisDial answer options
+                    look like: yes/no/counts dominate)
+    rounds/s only — XLA's flop count prices the skipped rows, so an "MFU"
+    here would be fiction."""
+    from itertools import islice
+
+    from visdial_tpu.data.loader import TrainLoader
+    from visdial_tpu.data.synthetic import make_random_split
+
+    group = TRAIN_DISPATCH_GROUP
+    split, vocab = make_random_split(cfg, num_dialogs=group * cfg.batch_size,
+                                     num_unique_answers=100_000, seed=0)
+    # zipf(1.2) redraw of the candidate pools (ground truth kept in place)
+    rng = np.random.default_rng(1)
+    M = split.opt_list.shape[0]
+    pop = 1.0 / (1.0 + np.arange(M, dtype=np.float64)) ** 1.2
+    pop = pop[rng.permutation(M)] / pop.sum()
+    zipf_inds = rng.choice(M, size=split.opt_inds.shape, p=pop).astype(np.int32)
+    gt_rows = np.take_along_axis(split.opt_inds, split.gt_ind[..., None], 2)
+    np.put_along_axis(zipf_inds, split.gt_ind[..., None], gt_rows, axis=2)
+
+    out = {}
+    for key, dedup, inds in (("plain", False, None),
+                             ("dedup", True, None),
+                             ("dedup_zipf", True, zipf_inds)):
+        if inds is not None:
+            split.opt_inds[:] = inds
+        dcfg = cfg.replace(vocab_size=vocab.size, disc_dedup_options=dedup)
+        host = [b.as_dict() for b in
+                islice(TrainLoader(split, vocab, dcfg).epoch(seed=0), group)]
+        t = bench_train(dcfg, steps=steps, host_batches=host)
+        for k in ("_state", "_mesh", "_batch"):
+            t.pop(k)
+        out[f"disc_train_{key}_rounds_per_sec_per_chip"] = \
+            t["train_rounds_per_sec_per_chip"]
+        log(f"[jax] disc train ({key}, loader batches): "
+            f"{t['train_rounds_per_sec']:.1f} rounds/s")
     return out
 
 
@@ -532,6 +585,10 @@ def bench_jax(args) -> dict:
             stats["gen_train_mfu"] = g["train_mfu"]
         stats.update(bench_eval(gcfg, gstate, gmesh, gbatch, steps=4))
 
+    if cfg.decoder == "disc" and not args.no_dedup:
+        log("[jax] candidate-dedup operating point (loader batches)")
+        stats.update(bench_dedup(cfg, steps=args.steps))
+
     if not args.realistic_lengths and not args.no_realistic:
         # The realistic-lengths operating point (uniform[1, max] token
         # lengths — what real VisDial data hits) rides along in one run so
@@ -688,6 +745,8 @@ def main(argv=None) -> None:
                    help="skip the ride-along gen-decoder measurements")
     p.add_argument("--no_realistic", action="store_true",
                    help="skip the ride-along realistic-lengths block")
+    p.add_argument("--no_dedup", action="store_true",
+                   help="skip the candidate-dedup ride-along rows")
     p.add_argument("--no_kernel_check", action="store_true",
                    help="skip the on-chip Pallas-vs-XLA equivalence gate "
                         "(iteration convenience; the committed artifact "

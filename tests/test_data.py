@@ -131,6 +131,25 @@ def test_option_gather_contains_gt(data):
             np.testing.assert_array_equal(b.opt[i, r, gt], split.ans[i, r])
 
 
+def test_dedup_option_assembly_is_exact(data):
+    """Dedup'd train batches (Config.disc_dedup_options): gathering the
+    unique rows back through opt_row must reproduce the plain expanded
+    option tokens exactly; filler rows are all-pad and never referenced."""
+    split, vocab, cfg = data
+    asm = BatchAssembler(split, vocab, cfg)
+    idx = np.arange(6)
+    plain = asm.assemble(idx)
+    dd = asm.assemble(idx, dedup_options=True)
+    assert dd.opt is None and dd.opt_uniq is not None
+    assert dd.opt_uniq.shape == (plain.opt.size // plain.opt.shape[-1],
+                                 plain.opt.shape[-1])
+    np.testing.assert_array_equal(dd.opt_uniq[dd.opt_row], plain.opt)
+    n_uniq = np.unique(plain.opt_inds).size
+    assert (dd.opt_row < n_uniq).all()
+    assert (dd.opt_uniq[n_uniq:] == 0).all()      # all-pad filler
+    assert n_uniq < dd.opt_uniq.shape[0]          # real duplication exists
+
+
 def test_train_loader_epoch(data):
     split, vocab, cfg = data
     loader = TrainLoader(split, vocab, cfg)

@@ -82,6 +82,40 @@ def test_multistep_dispatch_matches_sequential(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_dedup_train_step_matches_plain_and_shards(setup):
+    """The dedup'd disc train path (opt_uniq + opt_row gather) must land on
+    the plain expanded-options path's loss/params (exact math, fp-order
+    tolerance on accumulated duplicate-row grads), and the cross-shard
+    gather of unique-row embeddings must match the single-device run."""
+    cfg, _, split = setup
+    # rebuild an assembler to get both layouts of the SAME batch
+    from visdial_tpu.data.synthetic import synthetic_vocab
+
+    asm = BatchAssembler(split, synthetic_vocab(), cfg)
+    idx = np.arange(8)
+    plain = asm.assemble(idx).as_dict()
+    dd = asm.assemble(idx, dedup_options=True).as_dict()
+
+    mesh8 = make_mesh(data=8, model=1)
+    mesh1 = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    outs = {}
+    for name, (mesh, batch) in {
+        "plain1": (mesh1, plain), "dd1": (mesh1, dd), "dd8": (mesh8, dd),
+    }.items():
+        state = init_train_state(cfg)
+        fn = make_train_fn(cfg, mesh)
+        for _ in range(2):
+            state, m = fn(state, shard_batch(batch, mesh))
+        outs[name] = (float(m["loss"]), state.params)
+    for other in ("dd1", "dd8"):
+        np.testing.assert_allclose(outs[other][0], outs["plain1"][0],
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(outs[other][1]),
+                        jax.tree.leaves(outs["plain1"][1])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4)
+
+
 def test_sharded_eval_matches_single_device(setup):
     cfg, batch, _ = setup
     mesh8 = make_mesh(data=8, model=1)

@@ -42,7 +42,7 @@ DECODERS = ("gen", "disc")
 # against old weights.
 RESUME_OVERRIDABLE = frozenset({
     "num_epochs", "use_pallas", "compute_dtype", "remat",
-    "mesh_data", "mesh_model", "gen_eval_bucketed",
+    "mesh_data", "mesh_model", "gen_eval_bucketed", "disc_dedup_options",
     "data_dir", "save_path", "eval_every", "save_every", "log_every",
 })
 
@@ -139,6 +139,23 @@ class Config:
                                  # identical scores (masked steps are exact
                                  # zeros), ~40% fewer FLOPs at real answer
                                  # lengths; False = single full-width pass
+    disc_dedup_options: bool = True
+                                 # disc TRAIN batches carry the batch's
+                                 # UNIQUE candidate rows + a gather map
+                                 # instead of the expanded (B,R,K,La)
+                                 # tokens: candidates are draws from the
+                                 # split's dedup'd opt_list, so rows repeat
+                                 # within a batch (measured: 14% uniform,
+                                 # 84-95% under zipf answer-popularity skew
+                                 # — scripts/measure_dedup.py) and every
+                                 # repeat is redundant option-LSTM work.
+                                 # Scores/grads are exactly the plain
+                                 # path's (same tokens per candidate); at
+                                 # train time duplicate candidates SHARE
+                                 # inter-layer dropout masks (noise-shape
+                                 # only, same deviation class as
+                                 # lf_hist_incremental).  False =
+                                 # reference-exact per-candidate noise
     lf_hist_incremental: bool = True
                                  # LF history as ONE left-aligned LSTM pass
                                  # with per-round boundary readouts: the

@@ -100,6 +100,12 @@ class Batch:
       opt_inds    (B, R, K)        rows into the split's opt_list (disc
                                    eval fast path: table lookup scoring)
       opt_len     (B, R, K)
+      opt_uniq    (B*R*K, La)      the batch's UNIQUE candidate rows, padded
+                                   with all-zero rows (disc train dedup path
+                                   — Config.disc_dedup_options; the fused
+                                   LSTM's per-tile step bounds skip the
+                                   all-pad filler's compute entirely)
+      opt_row     (B, R, K)        rows into opt_uniq per candidate
       opt_in      (B, R, K, La+1)  <START>+cand       (gen eval)
       opt_out     (B, R, K, La+1)  cand+<END>         (gen eval)
       gt_ind      (B, R)
@@ -130,6 +136,8 @@ class Batch:
     opt_len: np.ndarray | None = None
     opt_in: np.ndarray | None = None
     opt_out: np.ndarray | None = None
+    opt_uniq: np.ndarray | None = None
+    opt_row: np.ndarray | None = None
 
     def as_dict(self) -> dict[str, Any]:
         return {k: v for k, v in self.__dict__.items() if v is not None}
@@ -295,12 +303,20 @@ class BatchAssembler:
         with_options: bool = True,
         with_gen_options: bool = False,
         with_option_tokens: bool = True,
+        dedup_options: bool = False,
         pad_to: int | None = None,
     ) -> Batch:
         """with_option_tokens=False keeps only opt_inds/opt_len (the eval
         fast paths gather candidate tokens on device from the split's
         opt_list — expanding ~3 MB of rows per batch on the host and
-        shipping them over is pure waste there)."""
+        shipping them over is pure waste there).
+
+        dedup_options=True (disc TRAIN path, Config.disc_dedup_options)
+        emits the batch's unique candidate rows (opt_uniq, all-pad-padded
+        to the static B*R*K) plus the per-candidate gather map (opt_row)
+        instead of the expanded opt tokens — same bytes on the wire, ~14%
+        (uniform) to ~10x (real answer-popularity skew) fewer live rows
+        through the option LSTM."""
         d, cfg, v = self.data, self.cfg, self.vocab
         idx = np.asarray(idx)
         B = len(idx)
@@ -335,7 +351,13 @@ class BatchAssembler:
             sel = d.opt_inds[idx]                      # (B, R, K)
             batch.opt_inds = sel.astype(np.int32)
             batch.opt_len = d.opt_list_len[sel]
-            if with_option_tokens:
+            if with_option_tokens and dedup_options and not with_gen_options:
+                uniq, inv = np.unique(sel, return_inverse=True)
+                opt_uniq = np.zeros((sel.size, d.opt_list.shape[1]), np.int32)
+                opt_uniq[: uniq.size] = d.opt_list[uniq]
+                batch.opt_uniq = opt_uniq
+                batch.opt_row = inv.reshape(sel.shape).astype(np.int32)
+            elif with_option_tokens:
                 if _native is not None and _native.available():
                     batch.opt = _native.gather_options(d.opt_list, sel)
                 else:
@@ -378,6 +400,7 @@ class TrainLoader:
         bs = self.cfg.batch_size
         need_gen_opts = False  # training never scores options for gen
         need_opts = self.cfg.decoder == "disc"
+        dedup = need_opts and self.cfg.disc_dedup_options
 
         def produce(q: queue_mod.Queue) -> None:
             try:
@@ -386,6 +409,7 @@ class TrainLoader:
                     q.put(self.assembler.assemble(
                         idx, with_options=need_opts,
                         with_gen_options=need_gen_opts,
+                        dedup_options=dedup,
                         pad_to=bs if not self.drop_remainder else None,
                     ))
             finally:

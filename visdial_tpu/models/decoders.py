@@ -430,9 +430,25 @@ def disc_scores(params, embed_params, joint, opt_tokens, cfg: Config,
 def disc_loss(params, embed_params, joint, batch, cfg: Config,
               *, train=False, rng=None, impl="xla"):
     N = joint.shape[0]
-    opt_tokens = batch["opt"].reshape(N, cfg.num_options, -1)
-    scores = disc_scores(params, embed_params, joint, opt_tokens, cfg,
-                         train=train, rng=rng, impl=impl)
+    if (uniq := batch.get("opt_uniq")) is not None:
+        # Dedup'd train path (Config.disc_dedup_options): the option LSTM
+        # runs once per UNIQUE candidate row in the batch; per-candidate
+        # scores come back through a gather.  Exact for the deterministic
+        # math (same tokens -> same embedding); the all-pad filler rows
+        # sort to the end inside disc_option_embeddings, where the fused
+        # kernel's per-tile step bounds skip their compute entirely.  At
+        # train time duplicate candidates share dropout masks (noise-shape
+        # only — see config.py).
+        emb = disc_option_embeddings(params, embed_params, uniq[None], cfg,
+                                     train=train, rng=rng, impl=impl)[0]
+        opt_emb = jnp.take(emb, batch["opt_row"].reshape(N, cfg.num_options),
+                           axis=0)                        # (N, K, H)
+        scores = jnp.einsum("nh,nkh->nk", joint.astype(opt_emb.dtype),
+                            opt_emb, preferred_element_type=jnp.float32)
+    else:
+        opt_tokens = batch["opt"].reshape(N, cfg.num_options, -1)
+        scores = disc_scores(params, embed_params, joint, opt_tokens, cfg,
+                             train=train, rng=rng, impl=impl)
     gt = batch["gt_ind"].reshape(N)
     logp = jax.nn.log_softmax(scores, axis=-1)
     nll = -jnp.take_along_axis(logp, gt[:, None], axis=-1)[:, 0]

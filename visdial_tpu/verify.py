@@ -105,7 +105,10 @@ SCALES = {
 # a miscompile (wrong block indexing, clobbered carry, bad mask algebra)
 # produces O(1) relative errors, orders of magnitude past these.
 TOLS = {
-    "lstm_fwd_f32": 3e-4,
+    # f32 matmuls ride the MXU via multi-pass bf16 decomposition on v5e;
+    # kernel vs XLA-scan decompose/accumulate differently, compounded over
+    # the T-step recurrence: measured 6.8e-4 on-chip (0.0 on CPU)
+    "lstm_fwd_f32": 3e-3,
     "lstm_fwd_bf16": 3e-2,
     "lstm_bwd_bf16": 5e-2,
     "attention_bf16": 2e-2,
@@ -166,7 +169,10 @@ def check_lstm_bwd(s, N: int, name: str) -> dict:
     gct = jnp.asarray(rng.standard_normal((N, H)) * 0.1, jnp.float32)
 
     def scalarize(fn):
-        def f(w, b, x, h0, c0):
+        # cotangents are explicit jit ARGUMENTS: a closure capture would
+        # embed them as HLO constants (590 MB at flagship shapes), which
+        # the tunneled remote-compile endpoint rejects (HTTP 413)
+        def f(w, b, x, h0, c0, ghs, ght, gct):
             hs, ht, ct = fn(w, b, x, mask, h0, c0)
             return (jnp.sum(hs.astype(jnp.float32) * ghs)
                     + jnp.sum(ht.astype(jnp.float32) * ght)
@@ -179,11 +185,11 @@ def check_lstm_bwd(s, N: int, name: str) -> dict:
     if forced:
         prev, lstm_pallas.FORCE_BWD_KERNEL = lstm_pallas.FORCE_BWD_KERNEL, True
     try:
-        got = scalarize(lstm_pallas._layer)(w, b, x, h0, c0)
+        got = scalarize(lstm_pallas._layer)(w, b, x, h0, c0, ghs, ght, gct)
     finally:
         if forced:
             lstm_pallas.FORCE_BWD_KERNEL = prev
-    want = scalarize(lstm_pallas._layer_xla)(w, b, x, h0, c0)
+    want = scalarize(lstm_pallas._layer_xla)(w, b, x, h0, c0, ghs, ght, gct)
     return _record(name, got, want, TOLS["lstm_bwd_bf16"])
 
 
@@ -303,9 +309,11 @@ def check_train_grads(s, decoder: str) -> dict:
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
     def run(impl):
-        def loss(p):
-            return model_loss(p, batch, cfg, train=False, impl=impl)
-        return jax.jit(jax.value_and_grad(loss))(params)
+        # batch as an explicit argument (not a closure capture -> HLO
+        # constant): see check_lstm_bwd's remote-compile size note
+        def loss(p, b):
+            return model_loss(p, b, cfg, train=False, impl=impl)
+        return jax.jit(jax.value_and_grad(loss))(params, batch)
 
     got, want = run("pallas"), run("xla")
     return _record(f"train_grads_{decoder}_bf16", got, want,
