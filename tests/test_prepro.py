@@ -135,11 +135,20 @@ def test_prepro_feeds_loader(prepro_dir):
     )
     batch = next(iter(TrainLoader(train, vocab, cfg).epoch(seed=0)))
     assert batch.ques.shape == (4, R, 8)
-    assert batch.opt.shape == (4, R, K, 5)
+    # default disc train path is dedup'd: unique rows + gather map
+    assert batch.opt is None
+    assert batch.opt_uniq.shape == (4 * R * K, 5)
+    assert batch.opt_row.shape == (4, R, K)
     assert batch.img.shape == (4, 32)
     # right alignment: last column is nonzero wherever the row has tokens
     lens = (batch.ques != 0).sum(-1)
     assert ((batch.ques[..., -1] != 0) == (lens > 0)).all()
+    # dedup off restores the expanded layout, and the gather map
+    # reconstructs exactly those rows
+    plain_cfg = cfg.replace(disc_dedup_options=False)
+    plain = next(iter(TrainLoader(train, vocab, plain_cfg).epoch(seed=0)))
+    assert plain.opt.shape == (4, R, K, 5)
+    np.testing.assert_array_equal(batch.opt_uniq[batch.opt_row], plain.opt)
 
 
 @pytest.mark.slow
