@@ -31,6 +31,9 @@ def main() -> None:
                    help="optimizer steps scanned on device per dispatch "
                         "(the production train.py configuration); the host "
                         "loader must assemble G fresh batches per dispatch")
+    p.add_argument("--dedup", type=int, default=1,
+                   help="disc_dedup_options (1=production default; 0 for "
+                        "the plain expanded-candidate A/B)")
     args = p.parse_args()
 
     import jax
@@ -54,7 +57,8 @@ def main() -> None:
 
     enable_compilation_cache()
     cfg = Config(encoder="mn-ques-im-hist", decoder="disc",
-                 batch_size=32, dropout=0.5, compute_dtype="bfloat16")
+                 batch_size=32, dropout=0.5, compute_dtype="bfloat16",
+                 disc_dedup_options=bool(args.dedup))
     jax.config.update("jax_default_prng_impl", cfg.prng_impl)
 
     t0 = time.time()
