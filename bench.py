@@ -193,7 +193,8 @@ def wait_for_device(max_wait_s: float = 12 * 3600.0,
 
 def bench_train(cfg, steps: int = 16, warmup: int = 3,
                 group: int = TRAIN_DISPATCH_GROUP,
-                full_lengths: bool = True, host_batches=None) -> dict:
+                full_lengths: bool = True, host_batches=None,
+                with_eval_batch: bool = True) -> dict:
     """Train throughput (+ achieved TFLOP/s + MFU) for one model config.
 
     Measured through the multi-step dispatch path (G steps scanned on
@@ -261,9 +262,11 @@ def bench_train(cfg, steps: int = 16, warmup: int = 3,
 
     from visdial_tpu.parallel.mesh import shard_batch
 
-    batch = shard_batch(random_batch(cfg, seed=0,
-                                     full_lengths=full_lengths),
-                        mesh)                          # for eval benches
+    # eval benches reuse this batch; callers that only want the train rate
+    # (bench_dedup x3) skip generating + shipping it over the ~30 MB/s link
+    batch = (shard_batch(random_batch(cfg, seed=0,
+                                      full_lengths=full_lengths), mesh)
+             if with_eval_batch else None)
     out = {
         "train_rounds_per_sec": train_rps,
         "train_rounds_per_sec_per_chip": train_rps / n_chips,
@@ -381,25 +384,20 @@ def bench_dedup(cfg, steps: int = 16) -> dict:
     group = TRAIN_DISPATCH_GROUP
     split, vocab = make_random_split(cfg, num_dialogs=group * cfg.batch_size,
                                      num_unique_answers=100_000, seed=0)
-    # zipf(1.2) redraw of the candidate pools (ground truth kept in place)
-    rng = np.random.default_rng(1)
-    M = split.opt_list.shape[0]
-    pop = 1.0 / (1.0 + np.arange(M, dtype=np.float64)) ** 1.2
-    pop = pop[rng.permutation(M)] / pop.sum()
-    zipf_inds = rng.choice(M, size=split.opt_inds.shape, p=pop).astype(np.int32)
-    gt_rows = np.take_along_axis(split.opt_inds, split.gt_ind[..., None], 2)
-    np.put_along_axis(zipf_inds, split.gt_ind[..., None], gt_rows, axis=2)
 
     out = {}
-    for key, dedup, inds in (("plain", False, None),
-                             ("dedup", True, None),
-                             ("dedup_zipf", True, zipf_inds)):
-        if inds is not None:
-            split.opt_inds[:] = inds
+    for key, dedup, zipf_a in (("plain", False, None),
+                               ("dedup", True, None),
+                               ("dedup_zipf", True, 1.2)):
+        if zipf_a is not None:
+            # same recipe as scripts/measure_dedup.py (shared helper)
+            from visdial_tpu.data.synthetic import zipf_redraw_options
+            zipf_redraw_options(split, zipf_a)
         dcfg = cfg.replace(vocab_size=vocab.size, disc_dedup_options=dedup)
         host = [b.as_dict() for b in
                 islice(TrainLoader(split, vocab, dcfg).epoch(seed=0), group)]
-        t = bench_train(dcfg, steps=steps, host_batches=host)
+        t = bench_train(dcfg, steps=steps, host_batches=host,
+                        with_eval_batch=False)
         for k in ("_state", "_mesh", "_batch"):
             t.pop(k)
         out[f"disc_train_{key}_rounds_per_sec_per_chip"] = \

@@ -48,17 +48,8 @@ def main(argv=None) -> None:
                                      num_unique_answers=args.num_unique_answers,
                                      seed=0)
     if args.zipf:
-        rng = np.random.default_rng(1)
-        M = split.opt_list.shape[0]
-        ranks = rng.permutation(M)
-        pop = (1.0 / (1.0 + np.arange(M, dtype=np.float64)) ** args.zipf)
-        pop = pop[ranks] / pop.sum()
-        oi = split.opt_inds
-        redraw = rng.choice(M, size=oi.shape, p=pop).astype(np.int32)
-        # keep the planted ground truth where it is
-        gt = np.take_along_axis(oi, split.gt_ind[..., None], axis=2)
-        np.put_along_axis(redraw, split.gt_ind[..., None], gt, axis=2)
-        split.opt_inds[:] = redraw
+        from visdial_tpu.data.synthetic import zipf_redraw_options
+        zipf_redraw_options(split, args.zipf)
 
     cfg = cfg.replace(vocab_size=vocab.size)
     loader = TrainLoader(split, vocab, cfg)

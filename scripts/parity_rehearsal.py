@@ -61,8 +61,11 @@ def generate(data_dir: str, log: list) -> None:
             seed=seed)
         path = os.path.join(data_dir, f"visdial_data_{split_name}.npz")
         # uncompressed savez: random arrays don't compress, and the
-        # compressed writer would spend minutes of 1-CPU time for nothing
-        np.savez(path, **dataclasses.asdict(split))
+        # compressed writer would spend minutes of 1-CPU time for nothing.
+        # (NOT dataclasses.asdict — that deep-copies ~2 GB of arrays just
+        # to build a kwargs dict savez only reads.)
+        np.savez(path, **{f.name: getattr(split, f.name)
+                          for f in dataclasses.fields(split)})
         if split_name == "train":
             vocab.save(os.path.join(data_dir, "visdial_params.json"))
         rec = {"event": "generated", "split": split_name, "dialogs": n,

@@ -22,6 +22,11 @@ def test_record_flags_out_of_tolerance():
 def test_record_flags_nan_and_shape_mismatch():
     nan = verify._record("x", np.array([np.nan]), np.array([1.0]), 1e-3)
     assert not nan["ok"]
+    # a NaN in the TWIN must fail too — np.max over it is NaN, and
+    # max(0.0, nan) would otherwise keep 0.0, masking the finite mismatch
+    nan_want = verify._record("x", np.array([5.0, 5.0]),
+                              np.array([1.0, np.nan]), 1e-3)
+    assert not nan_want["ok"]
     mis = verify._record("x", np.ones(3), np.ones(4), 1e-3)
     assert not mis["ok"]
     # tree-arity mismatch is also a failure, not a crash
@@ -43,7 +48,7 @@ def test_run_checks_tiny_passes_on_cpu():
     res = verify.run_checks("tiny")
     failed = [c for c in res["checks"] if not c["ok"]]
     assert res["ok"], failed
-    assert len(res["checks"]) == 10
+    assert len(res["checks"]) == 11
 
 
 def test_run_checks_catches_perturbed_kernel(monkeypatch):

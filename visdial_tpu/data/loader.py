@@ -163,6 +163,19 @@ def _with_start_end(tokens: np.ndarray, lengths: np.ndarray, start: int, end: in
     return t_in.reshape(*shape[:-1], L + 1), t_out.reshape(*shape[:-1], L + 1)
 
 
+def dedup_option_rows(opt_list: np.ndarray,
+                      sel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """The disc_dedup_options batch layout (Config.disc_dedup_options):
+    unique candidate rows padded with all-pad filler to the static
+    sel.size, plus the per-candidate gather map into them.  Shared by the
+    train assembler, the driver's multichip dry run, and the on-chip
+    equivalence gate so the layout cannot drift between them."""
+    uniq, inv = np.unique(sel, return_inverse=True)
+    opt_uniq = np.zeros((sel.size, opt_list.shape[1]), np.int32)
+    opt_uniq[: uniq.size] = opt_list[uniq]
+    return opt_uniq, inv.reshape(sel.shape).astype(np.int32)
+
+
 # ---------------------------------------------------------------------------
 # assembler
 # ---------------------------------------------------------------------------
@@ -352,11 +365,8 @@ class BatchAssembler:
             batch.opt_inds = sel.astype(np.int32)
             batch.opt_len = d.opt_list_len[sel]
             if with_option_tokens and dedup_options and not with_gen_options:
-                uniq, inv = np.unique(sel, return_inverse=True)
-                opt_uniq = np.zeros((sel.size, d.opt_list.shape[1]), np.int32)
-                opt_uniq[: uniq.size] = d.opt_list[uniq]
-                batch.opt_uniq = opt_uniq
-                batch.opt_row = inv.reshape(sel.shape).astype(np.int32)
+                batch.opt_uniq, batch.opt_row = dedup_option_rows(
+                    d.opt_list, sel)
             elif with_option_tokens:
                 if _native is not None and _native.available():
                     batch.opt = _native.gather_options(d.opt_list, sel)

@@ -223,3 +223,23 @@ def make_random_split(cfg: Config, num_dialogs: int,
         img_feat=img, img_ids=np.arange(N, dtype=np.int64),
     ).validate()
     return split, vocab
+
+
+def zipf_redraw_options(split, a: float, seed: int = 1) -> None:
+    """In-place zipf(a) answer-popularity redraw of the split's candidate
+    pools, keeping each round's planted ground-truth row where it is.
+
+    make_random_split draws candidates UNIFORMLY from the option list;
+    real VisDial answer options are heavily popularity-skewed (yes/no/
+    counts dominate), so uniform duplication fractions are a lower bound.
+    a ~ 1.2-1.5 approximates the real skew.  ONE recipe shared by
+    scripts/measure_dedup.py (the duplication measurement) and bench.py's
+    dedup A/B rows so the two stay comparable."""
+    rng = np.random.default_rng(seed)
+    M = split.opt_list.shape[0]
+    pop = 1.0 / (1.0 + np.arange(M, dtype=np.float64)) ** a
+    pop = pop[rng.permutation(M)] / pop.sum()
+    redraw = rng.choice(M, size=split.opt_inds.shape, p=pop).astype(np.int32)
+    gt = np.take_along_axis(split.opt_inds, split.gt_ind[..., None], axis=2)
+    np.put_along_axis(redraw, split.gt_ind[..., None], gt, axis=2)
+    split.opt_inds[:] = redraw

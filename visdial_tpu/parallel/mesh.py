@@ -29,10 +29,21 @@ def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
     replacement slice that may be SMALLER than the original mesh."""
     devices = list(devices if devices is not None else jax.devices())
     if data == -1:
+        # fill-all must actually fill all: a non-dividing model axis would
+        # silently idle len % model chips
+        assert len(devices) % model == 0, (
+            f"model={model} does not divide the {len(devices)} devices; "
+            f"pass explicit data= to train on a sub-slice")
         data = len(devices) // model
     assert data * model <= len(devices), (
         f"mesh {data}x{model} needs {data * model} devices, "
         f"found {len(devices)}")
+    if data * model < len(devices):
+        # legitimate for recovery on a smaller replacement slice, but loud:
+        # a typo'd --mesh_data otherwise trains at a fraction of the machine
+        import sys
+        print(f"[mesh] NOTE: {data}x{model} mesh uses {data * model} of "
+              f"{len(devices)} devices; the rest stay idle", file=sys.stderr)
     arr = np.array(devices[: data * model]).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 

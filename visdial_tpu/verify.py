@@ -27,7 +27,10 @@ Checks (kernel vs twin, value and/or grad):
     backward kernel (ops/lm_score_pallas vs materialized-logits math);
   * one whole train-step gradient: value_and_grad of model_loss,
     impl="pallas" vs impl="xla", both decoders, at flagship dims with
-    realistic lengths (engages the length-sort + per-tile-bounds path).
+    realistic lengths (engages the length-sort + per-tile-bounds path);
+  * the dedup'd disc-train layout (opt_uniq + gather map + all-pad
+    filler — the production default) vs the plain expanded layout on
+    identical candidate tokens, both through the Pallas path.
 
 Tolerances are RELATIVE to the twin's per-leaf max |value| and were pinned
 from measured on-chip errors (see tests/test_verify.py for the CPU
@@ -53,7 +56,10 @@ def _leaf_err(got, want):
     want = np.asarray(want, np.float64)
     if got.shape != want.shape:
         return float("inf"), float("inf")
-    if not np.all(np.isfinite(got)):
+    # non-finite on EITHER side fails the leaf: a NaN in the twin would
+    # otherwise make np.max return NaN, and max(0.0, nan) keeps 0.0 —
+    # masking real mismatches on the finite elements (tests/test_verify.py)
+    if not (np.all(np.isfinite(got)) and np.all(np.isfinite(want))):
         return float("inf"), float("inf")
     abs_err = float(np.max(np.abs(got - want))) if got.size else 0.0
     scale = float(np.max(np.abs(want))) if want.size else 0.0
@@ -117,6 +123,9 @@ TOLS = {
     "lm_dlogits_bf16": 2e-2,
     "train_grads_disc_bf16": 6e-2,
     "train_grads_gen_bf16": 6e-2,
+    # dedup vs plain layout, BOTH through the Pallas path: same math, only
+    # duplicate-row grad summation order differs — measured 7.8e-3 on-chip
+    "train_grads_disc_dedup_bf16": 6e-2,
 }
 
 
@@ -320,6 +329,45 @@ def check_train_grads(s, decoder: str) -> dict:
                    TOLS[f"train_grads_{decoder}_bf16"])
 
 
+def check_train_grads_dedup(s) -> dict:
+    """The production-default dedup'd disc-train layout (opt_uniq global
+    gather + all-pad filler rows, Config.disc_dedup_options) vs the plain
+    expanded layout on the SAME candidate tokens — both compiled through
+    the Pallas path on the current backend.  Deterministic math is exact
+    (same tokens -> same embedding); this is the only check that compiles
+    the dedup batch's filler-tile/length-sort handling on real Mosaic —
+    check_train_grads' random_batch never emits opt_uniq/opt_row."""
+    from .data.loader import dedup_option_rows
+    from .data.synthetic import random_batch
+    from .models.model import model_init, model_loss
+
+    cfg = _step_config(s, "disc")
+    params = model_init(jax.random.PRNGKey(0), cfg)
+    plain = random_batch(cfg, seed=0, full_lengths=False)
+    # random_batch candidates are ~all unique; redraw them from a small
+    # pool so the batch carries heavy duplication (the operating point the
+    # layout exists for) and opt_uniq gets real all-pad filler rows
+    rng = np.random.default_rng(8)
+    B, R, K = cfg.batch_size, cfg.num_rounds, cfg.num_options
+    pool = plain["opt"].reshape(-1, cfg.max_ans_len)[: max(B * R * K // 4, 1)]
+    sel = rng.integers(0, pool.shape[0], size=(B, R, K))
+    plain["opt"] = pool[sel]
+    dedup = dict(plain)
+    del dedup["opt"]
+    dedup["opt_uniq"], dedup["opt_row"] = dedup_option_rows(pool, sel)
+    plain = {k: jnp.asarray(v) for k, v in plain.items()}
+    dedup = {k: jnp.asarray(v) for k, v in dedup.items()}
+
+    def run(b):
+        def loss(p, b):
+            return model_loss(p, b, cfg, train=False, impl="pallas")
+        return jax.jit(jax.value_and_grad(loss))(params, b)
+
+    got, want = run(dedup), run(plain)
+    return _record("train_grads_disc_dedup_bf16", got, want,
+                   TOLS["train_grads_disc_dedup_bf16"])
+
+
 # ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
@@ -348,6 +396,8 @@ def run_checks(scale: str = "flagship", log: Callable[[str], None] = None,
         ("lm_dlogits_bf16", lambda: check_lm_dlogits(s)),
         ("train_grads_disc_bf16", lambda: check_train_grads(s, "disc")),
         ("train_grads_gen_bf16", lambda: check_train_grads(s, "gen")),
+        ("train_grads_disc_dedup_bf16",
+         lambda: check_train_grads_dedup(s)),
     ]
     checks = []
     for name, fn in steps:
