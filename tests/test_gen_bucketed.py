@@ -23,7 +23,7 @@ def _setup():
 
 def test_bucket_plan_shapes():
     cfg, split, _ = _setup()
-    plan = _GenBucketPlan(split, cfg, batch_size=4)
+    plan = _GenBucketPlan(split, batch_size=4)
     assert plan.widths[-1] == split.opt_list.shape[1] + 1
     assert sorted(plan.widths) == plan.widths
     # every row fits some bucket; capacities cover the worst batch exactly

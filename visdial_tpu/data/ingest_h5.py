@@ -230,6 +230,15 @@ def main(argv=None) -> None:
     p.add_argument("--splits", default="train,val")
     args = p.parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
+    # refuse to clobber the INPUT reference artifact: out_dir == the
+    # artifacts' own directory would overwrite visdial_params.json with
+    # the native vocab payload, destroying the reference file's ind2word
+    # and image-order lists irrecoverably
+    out_params = os.path.join(args.out_dir, "visdial_params.json")
+    if (os.path.exists(out_params)
+            and os.path.samefile(out_params, args.params_json)):
+        p.error(f"--out_dir would overwrite the input --params_json "
+                f"({args.params_json}); choose a different out_dir")
     vocab = None
     for split in args.splits.split(","):
         data, vocab = load_reference_split(

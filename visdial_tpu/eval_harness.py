@@ -136,7 +136,7 @@ class _GenBucketPlan:
     no recompilation after the first epoch of shapes.
     """
 
-    def __init__(self, data: VisDialSplit, cfg: Config, batch_size: int):
+    def __init__(self, data: VisDialSplit, batch_size: int):
         T_full = int(data.opt_list.shape[1]) + 1   # tokens + <END>
         self.T_full = T_full
         widths = sorted({max(2, (T_full + 2) // 3),
@@ -157,14 +157,13 @@ class _GenBucketPlan:
         self.caps = [int(-(-c // 128) * 128) for c in caps]
 
     @classmethod
-    def cached(cls, data: VisDialSplit, cfg: Config,
-               batch_size: int) -> "_GenBucketPlan":
+    def cached(cls, data: VisDialSplit, batch_size: int) -> "_GenBucketPlan":
         """Reuse the plan across evaluate_split calls (it is a pure
         function of the split's option arrays and the batch size)."""
         cache = data.__dict__.setdefault("_gen_bucket_plans", {})
         key = (batch_size, int(data.opt_list.shape[1]))
         if key not in cache:
-            cache[key] = cls(data, cfg, batch_size)
+            cache[key] = cls(data, batch_size)
         return cache[key]
 
     def assign(self, opt_len: np.ndarray) -> list[np.ndarray]:
@@ -318,7 +317,7 @@ class _ResidentGenEval(_ResidentEvalBase):
         from .parallel.train_step import gen_rows_score, state_shardings
 
         t0 = time.time()
-        plan = _GenBucketPlan.cached(data, cfg, batch_size)
+        plan = _GenBucketPlan.cached(data, batch_size)
         active = [(w, c) for w, c in zip(plan.widths, plan.caps) if c > 0]
         K = cfg.num_options
         R = cfg.num_rounds
@@ -496,7 +495,7 @@ def evaluate_split(params, data: VisDialSplit, vocab: Vocabulary,
         from .parallel.mesh import replicated
 
         encoder_fn, row_fn = gen_fns or _cached_gen_bucket_fns(cfg, mesh)
-        plan = _GenBucketPlan.cached(data, cfg, loader.bs)
+        plan = _GenBucketPlan.cached(data, loader.bs)
         rep = replicated(mesh)
         opt_list_dev = jax.device_put(data.opt_list, rep)
         opt_len_dev = jax.device_put(data.opt_list_len.astype(np.int32), rep)

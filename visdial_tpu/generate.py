@@ -73,7 +73,10 @@ def main(argv=None) -> list:
             greedy=not args.sample, rng=rng, temperature=args.temperature,
             beam_size=args.beam_size))
 
-    loader = EvalLoader(data, vocab, cfg, batch_size=bs)
+    # option_tokens=False: generation never scores candidates, and the
+    # default would assemble + ship ~9 MB/batch of opt/opt_in/opt_out
+    # tokens over the link for nothing
+    loader = EvalLoader(data, vocab, cfg, batch_size=bs, option_tokens=False)
     rng = jax.random.PRNGKey(args.seed)
     records = []
     for batch_idx, batch in enumerate(loader):
@@ -88,6 +91,11 @@ def main(argv=None) -> list:
                 break
             rounds = []
             for r in range(cfg.num_rounds):
+                # v1.0-style short dialogs are padded to the static round
+                # count; fabricating "answers" to their empty padded
+                # rounds would render garbage in the viewer
+                if not batch.round_valid[b, r]:
+                    continue
                 rounds.append({
                     "question": " ".join(vocab.decode(batch.ques[b, r])),
                     "gt_answer": " ".join(vocab.decode(data.ans[i, r])),

@@ -89,8 +89,6 @@ class InferenceEngine:
 
             self._serve_disc_jit = jax.jit(serve_disc, static_argnums=(4,))
         else:
-            La = cfg.max_ans_len
-
             def serve_gen(params, batch, beam, t):
                 toks, logp = model_generate(
                     params, batch, cfg, start_token=vocab.start,
@@ -110,7 +108,10 @@ class InferenceEngine:
         R = cfg.num_rounds
         # keep the MOST RECENT turns when the dialog exceeds the model's
         # round budget — the current question refers to recent context
-        history = list(history or [])[-(R - 1):]
+        # (explicit start index: [-(R-1):] at R == 1 would be [-0:] == the
+        # whole history, then ques[0, t] indexes out of bounds)
+        history = list(history or [])
+        history = history[max(len(history) - (R - 1), 0):]
         t = len(history)                       # current round index
         ques = np.zeros((1, R, cfg.max_ques_len), np.int32)
         ques_len = np.zeros((1, R), np.int32)
