@@ -535,12 +535,19 @@ def bench_jax(args) -> dict:
     cfg = flagship_config(args.encoder, args.decoder, args.batch_size,
                           args.compute_dtype, img_spatial=args.img_spatial)
     jax.config.update("jax_default_prng_impl", cfg.prng_impl)
+    kc = kernel_check(args)
     stats = {"backend": jax.default_backend(), "n_chips": len(jax.devices()),
-             **kernel_check(args),
+             **kc,
              "lengths": "realistic-uniform" if args.realistic_lengths else "max",
              "model": f"{cfg.encoder}-{cfg.decoder}",
              "compute_dtype": cfg.compute_dtype,
              "batch_size": cfg.batch_size}
+    if kc and not kc["kernel_check"]["ok"]:
+        # Hard gate tripped: throughput for a miscompiled kernel is
+        # meaningless, so don't spend the ~20-40 min measurement budget
+        # producing it — return the gate block alone; main() emits it on
+        # stdout for the record and exits 1.
+        return stats
     if args.img_spatial:
         stats["img_spatial"] = True
 
@@ -757,6 +764,18 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     jax_stats = bench_jax(args)
+    kc = jax_stats.get("kernel_check")
+    if kc is not None and not kc.get("ok"):
+        # Gate failed: bench_jax returned before measuring (no throughput
+        # rows exist).  Emit the gate block as the JSON record — per-check
+        # errors included — and fail the invocation loudly.
+        failed = [c["name"] for c in kc.get("checks", []) if not c["ok"]]
+        result = {"metric": "train_rounds_per_sec_per_chip", "value": 0.0,
+                  "unit": "rounds/s/chip", "vs_baseline": 0.0,
+                  "kernel_gate_failed": failed, **jax_stats}
+        print(json.dumps(result), flush=True)
+        log(f"[jax] KERNEL EQUIVALENCE GATE FAILED: {failed}")
+        sys.exit(1)
     baseline = torch_baseline()
     value = jax_stats["train_rounds_per_sec_per_chip"]
     result = {
@@ -773,14 +792,6 @@ def main(argv=None) -> None:
            for k, v in jax_stats.items()},
     }
     print(json.dumps(result), flush=True)
-    kc = result.get("kernel_check")
-    if kc is not None and not kc.get("ok"):
-        # Hard gate: throughput for a miscompiled kernel is meaningless.
-        # The JSON (with per-check errors) is already on stdout for the
-        # record; fail the invocation loudly.
-        failed = [c["name"] for c in kc.get("checks", []) if not c["ok"]]
-        log(f"[jax] KERNEL EQUIVALENCE GATE FAILED: {failed}")
-        sys.exit(1)
 
 
 if __name__ == "__main__":

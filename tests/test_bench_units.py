@@ -138,3 +138,33 @@ def test_tunnel_watch_polls_through_outage(monkeypatch, tmp_path):
     assert len(seen_down) == 2
     assert all(t.startswith("down as of ") for t in seen_down)
     assert tw.STATUS.read_text().startswith("UP at ")
+
+
+def test_main_gate_failure_aborts_before_measuring(monkeypatch, capsys):
+    """A failed kernel equivalence gate must abort the run BEFORE the
+    measurement suite (and before the torch baseline) — the JSON record
+    carries the gate block with value 0, and the invocation exits 1."""
+    import json
+
+    failed_stats = {
+        "backend": "tpu", "n_chips": 1,
+        "kernel_check": {
+            "ok": False,
+            "checks": [{"name": "lstm_fwd_f32", "ok": False,
+                        "max_abs_err": 9.9, "max_rel_err": 9.9,
+                        "rel_tol": 0.003}],
+        },
+    }
+    monkeypatch.setattr(bench, "bench_jax", lambda args: failed_stats)
+
+    def boom():
+        raise AssertionError("torch_baseline must not run on gate failure")
+
+    monkeypatch.setattr(bench, "torch_baseline", boom)
+    with pytest.raises(SystemExit) as e:
+        bench.main([])
+    assert e.value.code == 1
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["value"] == 0.0
+    assert rec["kernel_gate_failed"] == ["lstm_fwd_f32"]
+    assert rec["kernel_check"]["ok"] is False

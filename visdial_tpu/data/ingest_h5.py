@@ -235,7 +235,7 @@ def main(argv=None) -> None:
     # the native vocab payload, destroying the reference file's ind2word
     # and image-order lists irrecoverably
     out_params = os.path.join(args.out_dir, "visdial_params.json")
-    if (os.path.exists(out_params)
+    if (os.path.exists(out_params) and os.path.exists(args.params_json)
             and os.path.samefile(out_params, args.params_json)):
         p.error(f"--out_dir would overwrite the input --params_json "
                 f"({args.params_json}); choose a different out_dir")

@@ -441,10 +441,8 @@ def disc_loss(params, embed_params, joint, batch, cfg: Config,
         # only — see config.py).
         emb = disc_option_embeddings(params, embed_params, uniq[None], cfg,
                                      train=train, rng=rng, impl=impl)[0]
-        opt_emb = jnp.take(emb, batch["opt_row"].reshape(N, cfg.num_options),
-                           axis=0)                        # (N, K, H)
-        scores = jnp.einsum("nh,nkh->nk", joint.astype(opt_emb.dtype),
-                            opt_emb, preferred_element_type=jnp.float32)
+        scores = disc_scores_from_table(
+            joint, emb, batch["opt_row"].reshape(N, cfg.num_options))
     else:
         opt_tokens = batch["opt"].reshape(N, cfg.num_options, -1)
         scores = disc_scores(params, embed_params, joint, opt_tokens, cfg,
