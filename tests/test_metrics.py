@@ -105,3 +105,15 @@ def test_ndcg_matches_naive_reference():
         idcg = sum(ideal[j] / np.log2(j + 2) for j in range(k))
         want.append(dcg / idcg if idcg > 0 else 0.0)
     np.testing.assert_allclose(ndcg_scores(cr, rel), want, atol=1e-12)
+
+
+def test_retrieval_metrics_empty_ranks():
+    """A split with zero rankable rounds (v1.0 test split: scoreable but
+    no GT) reports empty metrics, not NaN + numpy warnings."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")     # any RuntimeWarning -> failure
+        m = retrieval_metrics(np.array([], dtype=np.int32))
+    assert m["num_examples"] == 0
+    assert m["mrr"] == 0.0 and m["mean_rank"] == 0.0

@@ -111,3 +111,37 @@ def test_resident_on_two_axis_mesh_with_model_axis():
     assert "resident_cache_seconds" in res
     for k in METRIC_KEYS:
         assert np.isclose(res[k], streamed[k], atol=1e-9), k
+
+
+def test_eval_any_batch_size_on_mesh():
+    """The eval surfaces stay usable at ANY batch size on a multi-device
+    mesh (mesh.shard_batch's documented degrade): a dialog count NOT
+    divisible by the data axis replicates instead of tripping pjit's
+    divisibility ValueError, in both the streaming and resident paths,
+    and the metrics equal the divisible-batch run exactly."""
+    params, split, vocab, cfg, mesh = _setup("mn-ques-im-hist",
+                                             batch_size=8, data=8)
+    ref = evaluate_split(params, split, vocab, cfg, mesh)
+    odd = cfg.replace(batch_size=6)        # 6 % 8 != 0 -> replicated
+    for resident in (False, True):
+        got = evaluate_split(params, split, vocab, odd, mesh,
+                             resident=resident, batch_size=6)
+        for k in METRIC_KEYS:
+            assert np.isclose(got[k], ref[k], atol=1e-9), (resident, k)
+
+
+def test_gen_eval_any_batch_size_on_mesh():
+    """Same degrade for the gen harness (encoder fn + resident stacks)."""
+    cfg = small_config(encoder="lf-ques-im-hist", decoder="gen",
+                       batch_size=8)
+    split, vocab = make_synthetic_split(cfg, num_dialogs=12, seed=9)
+    cfg = cfg.replace(vocab_size=vocab.size)
+    mesh = make_mesh(data=8, model=1, devices=jax.devices()[:8])
+    params = init_train_state(cfg).params
+    ref = evaluate_split(params, split, vocab, cfg, mesh)
+    odd = cfg.replace(batch_size=6)
+    for resident in (False, True):
+        got = evaluate_split(params, split, vocab, odd, mesh,
+                             resident=resident, batch_size=6)
+        for k in METRIC_KEYS:
+            assert np.isclose(got[k], ref[k], atol=1e-9), (resident, k)

@@ -49,8 +49,10 @@ def _cached_gen_bucket_fns(cfg: Config, mesh):
 
 # Batch fields any encoder reads; everything else an eval fast path needs
 # stays on the host or is gathered on device from once-uploaded tables.
+# (fact_len intentionally absent: encoders derive the fact mask from
+# facts != 0, so shipping/caching it on device would be dead weight.)
 _ENCODER_BATCH_KEYS = ("ques", "hist_concat", "hist_flat", "hist_bounds",
-                       "facts", "fact_len", "img")
+                       "facts", "img")
 
 
 @functools.lru_cache(maxsize=None)
@@ -270,7 +272,11 @@ class _ResidentDiscEval(_ResidentEvalBase):
         if not self.ok:
             return
         rep = replicated(mesh)
-        stk = NamedSharding(mesh, P(None, "data"))
+        # same degrade policy as mesh.shard_batch: a per-batch dialog
+        # count not divisible by the data axis stages replicated
+        bs = next(iter(stacks_np.values())).shape[1]
+        stk = (NamedSharding(mesh, P(None, "data"))
+               if bs % mesh.shape["data"] == 0 else rep)
         self.stacks = {k: jax.device_put(v, stk) for k, v in stacks_np.items()}
         self.opt_list = jax.device_put(data.opt_list.astype(np.int32), rep)
         shardings = (state_shardings(cfg, mesh).params, rep,
@@ -355,7 +361,10 @@ class _ResidentGenEval(_ResidentEvalBase):
             return
 
         rep = replicated(mesh)
-        stk = NamedSharding(mesh, P(None, "data"))
+        # same degrade policy as mesh.shard_batch (see _ResidentDiscEval)
+        bs = next(iter(stacks_np.values())).shape[1]
+        stk = (NamedSharding(mesh, P(None, "data"))
+               if bs % mesh.shape["data"] == 0 else rep)
         self.stacks = {k: jax.device_put(v, stk) for k, v in stacks_np.items()}
         self.buckets = jax.tree.map(lambda v: jax.device_put(v, rep),
                                     buckets_np)

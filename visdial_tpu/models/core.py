@@ -16,11 +16,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-INIT_SCALE = 0.08
-
-
-def uniform(rng, shape, scale: float = INIT_SCALE, dtype=jnp.float32):
-    return jax.random.uniform(rng, shape, dtype, minval=-scale, maxval=scale)
+# Single source of truth for the uniform(-0.08, 0.08) init lives in the
+# ops layer (ops/lstm.py); re-exported here for the linear/embedding inits.
+from ..ops.lstm import INIT_SCALE, uniform  # noqa: F401
 
 
 def linear_init(rng, in_dim: int, out_dim: int) -> dict:

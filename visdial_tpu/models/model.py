@@ -89,8 +89,15 @@ def model_dense_loss(params, batch, cfg: Config, *, train=True, rng=None,
     enc_rng = dec_rng = None
     if rng is not None:
         enc_rng, dec_rng = jax.random.split(rng)
-    joint = encoder_apply(params["encoder"], params["embed"], batch, cfg,
-                          train=train, rng=enc_rng, impl=impl)
+
+    def encode(enc_params, embed_params, batch):
+        return encoder_apply(enc_params, embed_params, batch, cfg,
+                             train=train, rng=enc_rng, impl=impl)
+
+    if cfg.remat and train:
+        # same policy as model_loss: rematerialize the encoder backward
+        encode = jax.checkpoint(encode)
+    joint = encode(params["encoder"], params["embed"], batch)
     B = batch["dense_rel"].shape[0]
     joint = joint.reshape(B, cfg.num_rounds, -1)
     joint_sel = jnp.take_along_axis(

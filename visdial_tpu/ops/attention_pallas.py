@@ -39,19 +39,27 @@ def _attention_kernel(q_ref, s_ref, valid_ref, out_ref):
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-@jax.custom_vjp
-def _attention(query, slots, valid):
-    interpret = jax.default_backend() != "tpu"
-    B, R, H = query.shape
-    S = slots.shape[1]
-    TB = 8
+def _pad_batch(query, slots, valid, TB: int):
+    """Pad the batch dim to a TB multiple.  valid pads with 1.0, NOT 0.0:
+    an all-masked pad row would softmax over -inf everywhere and NaN."""
+    B = query.shape[0]
     B_pad = -(-B // TB) * TB
     if B_pad != B:
         pad = B_pad - B
         query = jnp.pad(query, ((0, pad), (0, 0), (0, 0)))
         slots = jnp.pad(slots, ((0, pad), (0, 0), (0, 0)))
         valid = jnp.pad(valid, ((0, pad), (0, 0), (0, 0)),
-                        constant_values=1.0)  # all-masked rows would NaN
+                        constant_values=1.0)
+    return query, slots, valid, B_pad
+
+
+@jax.custom_vjp
+def _attention(query, slots, valid):
+    interpret = jax.default_backend() != "tpu"
+    B, R, H = query.shape
+    S = slots.shape[1]
+    TB = 8
+    query, slots, valid, B_pad = _pad_batch(query, slots, valid, TB)
     blk = lambda i: (i, 0, 0)
     out = pl.pallas_call(
         _attention_kernel,
@@ -180,13 +188,7 @@ def _attention_fusion_impl(query, slots, valid, fusion_w, fusion_b,
     B, R, H = query.shape
     S = slots.shape[1]
     TB = 8
-    B_pad = -(-B // TB) * TB
-    if B_pad != B:
-        pad = B_pad - B
-        query = jnp.pad(query, ((0, pad), (0, 0), (0, 0)))
-        slots = jnp.pad(slots, ((0, pad), (0, 0), (0, 0)))
-        valid = jnp.pad(valid, ((0, pad), (0, 0), (0, 0)),
-                        constant_values=1.0)
+    query, slots, valid, B_pad = _pad_batch(query, slots, valid, TB)
     dt = query.dtype
     wq = fusion_w[:H].astype(dt)
     wm = fusion_w[H:].astype(dt)

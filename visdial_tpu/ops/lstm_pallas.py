@@ -62,6 +62,15 @@ def _pick_tile(T: int, E_pad: int, H: int, itemsize: int,
         + 2 * 4 * H * 4                            # h0/c0/ht/ct blocks (x2 DB)
         + 2 * H * 4                                # h/c carry scratch
         + 4 * 4 * H * 4)                           # f32 gates + slices (stack)
+    # The save_cell (train-mode) forward streams a second (1, TB, H)
+    # output block — per-row 2*H*itemsize double-buffered — that is
+    # DELIBERATELY not charged: the stack charge above already
+    # over-reserves by more than that at every shape we can measure
+    # (TB=160 at the flagship bf16 layer-2 shape compiles and runs WITH
+    # the cs stream on the real chip; charging it would shrink the tile
+    # to 152/128 and re-introduce the non-divisor pad-copy cost the
+    # round-4 retune removed).  Like the backward's halved gates charge
+    # below, the 13/16 MB budget is the conservatism knob of record.
     if backward:
         # h_prev + c_prev + g_hs inputs, and dgp out is 4H wide (vs hs's H)
         per_row += 2 * (3 * H + 3 * H) * itemsize

@@ -15,6 +15,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh
 
 from ..config import Config
@@ -132,15 +133,49 @@ def make_dense_train_fn(cfg: Config, mesh: Mesh, impl: str | None = None):
                    donate_argnums=(0,))
 
 
+def _batch_adaptive_jit(fn, mesh: Mesh, shardings_for, batch_argnum: int,
+                        **jit_kw):
+    """jit with batch pins that honor shard_batch's degrade policy.
+
+    The eval/generate surfaces stay usable at ANY batch size (documented
+    in mesh.shard_batch): a dialog count not divisible by the data axis
+    arrives replicated, and a blanket in_shardings pin of P('data') makes
+    pjit reject that layout outright ("global size ... should be
+    divisible by 8").  This wrapper pins per key exactly what shard_batch
+    emits — P('data') where dim 0 divides the data axis, replicated where
+    it doesn't — one compiled program per layout (static per split;
+    divisible production batches get pins identical to a fixed
+    batch_sharding(mesh)).  shardings_for(bsh, row) returns the
+    (in_shardings, out_shardings) pair given the per-key batch-dict pin
+    and the sharding for batch-row-shaped outputs."""
+    n = mesh.shape["data"]
+    sh, rep = batch_sharding(mesh), replicated(mesh)
+    cache: dict = {}
+
+    def call(*args):
+        batch = args[batch_argnum]
+        pat = tuple((k, np.shape(v)[0] % n == 0) for k, v in batch.items())
+        fn_c = cache.get(pat)
+        if fn_c is None:
+            bsh = {k: (sh if div else rep) for k, div in pat}
+            row = sh if all(d for _, d in pat) else rep
+            ins, outs = shardings_for(bsh, row)
+            fn_c = cache[pat] = jax.jit(fn, in_shardings=ins,
+                                        out_shardings=outs, **jit_kw)
+        return fn_c(*args)
+
+    return call
+
+
 def make_eval_fn(cfg: Config, mesh: Mesh, impl: str | None = None):
     """jit(model_scores): batch -> (B, R, K) candidate scores."""
-    bsh = batch_sharding(mesh)
     psh = state_shardings(cfg, mesh).params
 
     def score(params, batch):
         return model_scores(params, batch, cfg, impl=impl)
 
-    return jax.jit(score, in_shardings=(psh, bsh), out_shardings=bsh)
+    return _batch_adaptive_jit(
+        score, mesh, lambda bsh, row: ((psh, bsh), row), batch_argnum=1)
 
 
 def make_gen_bucket_eval_fns(cfg: Config, mesh: Mesh, impl: str | None = None):
@@ -168,7 +203,6 @@ def make_gen_bucket_eval_fns(cfg: Config, mesh: Mesh, impl: str | None = None):
     from ..models.encoders import encoder_apply
 
     rep = replicated(mesh)
-    bsh = batch_sharding(mesh)
     psh = state_shardings(cfg, mesh).params
     impl_ = impl or _impl(cfg)
 
@@ -176,7 +210,8 @@ def make_gen_bucket_eval_fns(cfg: Config, mesh: Mesh, impl: str | None = None):
         return encoder_apply(params["encoder"], params["embed"], batch, cfg,
                              train=False, rng=None, impl=impl_)
 
-    encoder_fn = jax.jit(encode, in_shardings=(psh, bsh), out_shardings=rep)
+    encoder_fn = _batch_adaptive_jit(
+        encode, mesh, lambda bsh, row: ((psh, bsh), rep), batch_argnum=1)
 
     def score(params, joint, opt_list, opt_list_len, opt_rows, row_idx,
               width, start_token, end_token):
@@ -233,15 +268,14 @@ def make_disc_table_eval_fns(cfg: Config, mesh: Mesh, impl: str | None = None):
     from ..models.model import model_option_table, model_scores_with_table
 
     rep = replicated(mesh)
-    bsh = batch_sharding(mesh)
     psh = state_shardings(cfg, mesh).params
 
     table_fn = jax.jit(
         lambda params, opt_list: model_option_table(params, opt_list, cfg,
                                                     impl=impl),
         in_shardings=(psh, rep), out_shardings=rep)
-    score_fn = jax.jit(
+    score_fn = _batch_adaptive_jit(
         lambda params, table, batch: model_scores_with_table(
             params, batch, table, cfg, impl=impl),
-        in_shardings=(psh, rep, bsh), out_shardings=bsh)
+        mesh, lambda bsh, row: ((psh, rep, bsh), row), batch_argnum=2)
     return table_fn, score_fn

@@ -122,6 +122,15 @@ def main(argv=None) -> dict:
                         "false for reference-exact per-round noise"})
 
     mesh = make_mesh(cfg.mesh_data, cfg.mesh_model)
+    if cfg.batch_size % mesh.shape["data"] != 0:
+        # Train keeps the fixed P('data') production pins (donation +
+        # grouped dispatch); fail at config time with a usable message
+        # instead of pjit's divisibility ValueError mid-compile.  Eval and
+        # generate stay usable at any batch size (mesh.shard_batch).
+        raise SystemExit(
+            f"--batch_size {cfg.batch_size} is not divisible by the "
+            f"mesh data axis ({mesh.shape['data']}); pick a multiple, or "
+            f"shrink the mesh with --mesh_data")
     group = max(1, args.steps_per_dispatch)
     train_fn = make_train_fn(cfg, mesh)
     multi_fn = (make_multistep_train_fn(cfg, mesh) if group > 1 else None)

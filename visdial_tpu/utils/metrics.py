@@ -108,6 +108,13 @@ def ndcg_scores(cand_ranks, relevance) -> np.ndarray:
 def retrieval_metrics(ranks) -> dict[str, float]:
     """MRR / R@1 / R@5 / R@10 / mean rank from a flat array of ranks."""
     r = np.asarray(ranks, dtype=np.float64).reshape(-1)
+    if r.size == 0:
+        # A split with zero rankable rounds (the v1.0 test split is
+        # scoreable but carries no GT — --save_ranks is the deliverable
+        # there): report empty metrics instead of NaN + numpy mean-of-
+        # empty warnings.
+        return {"mrr": 0.0, "r@1": 0.0, "r@5": 0.0, "r@10": 0.0,
+                "mean_rank": 0.0, "num_examples": 0}
     return {
         "mrr": float(np.mean(1.0 / r)),
         "r@1": float(np.mean(r <= 1)),
